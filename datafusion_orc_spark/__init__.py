@@ -1,0 +1,26 @@
+"""datafusion_orc_spark — a PySpark-native per-column lightweight-compression
+engine with the capabilities of datafusion-contrib/datafusion-orc.
+
+The reference (/root/reference, datafusion-orc v0.7.0) integrates an ORC
+file-format reader into DataFusion; all format semantics live in ORC v1.
+This package re-expresses that capability Spark-first:
+
+- ``codecs``   : pure-numpy encode/decode kernels (RLEv2, byte/bool RLE,
+                 bit-packing, varint/zigzag, dictionary, FSST,
+                 frame-of-reference) — SURVEY.md §2.3/§2.4.
+- ``format``   : the stripe-blob container format + a pure-python ORC
+                 reader subset for conformance against the reference's
+                 own test corpus (reference: src/file_format.rs,
+                 src/physical_exec.rs).
+- ``operators``: Arrow-vectorized Spark operators (``mapInArrow`` encode /
+                 decode) — the engine's hot path, zero per-row Python.
+- ``sources``  : deterministic tokenized-sequence table generation and a
+                 snapshot-manifest table layer (Iceberg-style semantics on
+                 parquet, since no Iceberg jars ship in-sandbox).
+- ``plans``    : end-to-end encode pipeline (salting/repartition, lineage,
+                 checkpoint resume).
+- ``functions``: training-data pipeline ops (dedup, similarity search,
+                 text analysis) as DataFrame compositions.
+"""
+
+__version__ = "0.1.0"

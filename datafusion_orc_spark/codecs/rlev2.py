@@ -1,0 +1,306 @@
+"""E2/D5-D8 — ORC RLEv2 integer encoding: SHORT_REPEAT, DIRECT, DELTA,
+PATCHED_BASE, with zigzag for signed streams.
+
+Semantics fixed by the ORC v1 spec; run-header layouts and mode-choice
+outcomes verified against ORC-Java-written streams in SURVEY.md §4.3
+(e.g. constant column -> DELTA width 0; random int64 -> DIRECT @64-bit;
+1%-outlier column -> PATCHED_BASE 512-value runs). The reference crate
+(/root/reference) consumes these streams via orc-rust (Cargo.toml:41).
+
+Encoder strategy (the E9-adjacent run chooser, SURVEY.md §4.3 heuristic):
+  1. segment the input into equal-value runs (vectorized);
+  2. runs of 3..10 -> SHORT_REPEAT; runs >10 -> DELTA with fixed delta 0;
+  3. everything else forms literal segments, chunked to <=512 values:
+     monotonic -> DELTA; p90-width << max-width with <=31 outliers ->
+     PATCHED_BASE; else DIRECT.
+
+Decode returns int64 and is loop-per-run (each run decodes vectorized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from datafusion_orc_spark.codecs.bitpack import (
+    bit_pack,
+    bit_unpack,
+    bit_widths,
+    closest_fixed_width,
+    decode_width,
+    width_code,
+)
+from datafusion_orc_spark.codecs.varint import (
+    varint_decode,
+    varint_encode,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+_MAX_RUN = 512
+_MIN_REPEAT = 3
+_MAX_SHORT_REPEAT = 10
+_MAX_PATCHES = 31
+
+# header tags (top 2 bits)
+_SHORT_REPEAT = 0
+_DIRECT = 1
+_PATCHED_BASE = 2
+_DELTA = 3
+
+
+def _msb_bytes(value: int, nbytes: int) -> bytes:
+    return int(value).to_bytes(nbytes, "big")
+
+
+def _encode_short_repeat(out: bytearray, value: int, count: int, signed: bool) -> None:
+    u = int(zigzag_encode(np.array([value], dtype=np.int64))[0]) if signed else int(value)
+    w = max(1, (u.bit_length() + 7) // 8)
+    out.append((_SHORT_REPEAT << 6) | ((w - 1) << 3) | (count - 3))
+    out.extend(_msb_bytes(u, w))
+
+
+def _encode_direct(out: bytearray, vals: np.ndarray, signed: bool) -> None:
+    u = zigzag_encode(vals) if signed else vals.astype(np.uint64, copy=False)
+    w = closest_fixed_width(int(bit_widths(u).max()))
+    n = len(vals)
+    out.append((_DIRECT << 6) | (width_code(w) << 1) | ((n - 1) >> 8))
+    out.append((n - 1) & 0xFF)
+    out.extend(bit_pack(u, w))
+
+
+def _encode_delta(out: bytearray, vals: np.ndarray, signed: bool) -> None:
+    n = len(vals)
+    base = int(vals[0])
+    deltas = np.diff(vals.astype(np.int64))
+    d0 = int(deltas[0]) if n > 1 else 0
+    fixed = n <= 2 or bool(np.all(deltas == deltas[0]))
+    if fixed:
+        wc = 0
+        packed = b""
+    else:
+        mags = np.abs(deltas[1:]).astype(np.uint64)
+        w = closest_fixed_width(int(bit_widths(mags).max()))
+        if w == 1:
+            w = 2  # delta encoding cannot express width 1 (code 0 means fixed)
+        wc = width_code(w)
+        packed = bit_pack(mags, w)
+    out.append((_DELTA << 6) | (wc << 1) | ((n - 1) >> 8))
+    out.append((n - 1) & 0xFF)
+    if signed:
+        out.extend(varint_encode(zigzag_encode(np.array([base], dtype=np.int64))))
+    else:
+        out.extend(varint_encode(np.array([base], dtype=np.uint64)))
+    out.extend(varint_encode(zigzag_encode(np.array([d0], dtype=np.int64))))
+    out.extend(packed)
+
+
+def _try_encode_patched_base(out: bytearray, vals: np.ndarray, signed: bool) -> bool:
+    """PATCHED_BASE (no zigzag; min-subtraction makes values non-negative).
+
+    Returns False when the shape doesn't profit (caller falls back to
+    DIRECT). Mirrors ORC-Java's p90 width heuristic (SURVEY.md §4.3).
+    """
+    n = len(vals)
+    mn = int(vals.min())
+    if mn == -(1 << 63):  # |base| unrepresentable with sign-bit layout
+        return False
+    with np.errstate(over="ignore"):
+        reduced = (vals.astype(np.int64) - np.int64(mn)).view(np.uint64)
+    widths = bit_widths(reduced)
+    wmax = closest_fixed_width(int(widths.max()))
+    w90 = closest_fixed_width(int(np.percentile(widths, 90)))
+    if w90 >= wmax:
+        return False
+    patch_idx = np.flatnonzero(widths > w90)
+    if not (0 < len(patch_idx) <= _MAX_PATCHES):
+        return False
+    gaps = np.diff(patch_idx, prepend=0)
+    gaps[0] = patch_idx[0]
+    if int(gaps.max()) > 255:
+        return False  # would need dummy patches; DIRECT instead
+    patch_vals = reduced[patch_idx] >> np.uint64(w90)
+    pw = closest_fixed_width(int(bit_widths(patch_vals).max()))
+    pgw = max(1, int(bit_widths(gaps.astype(np.uint64)).max()))
+    if pgw + pw > 64:
+        return False
+    combined = closest_fixed_width(pgw + pw)
+    mag = -mn if mn < 0 else mn
+    bw = max(1, (mag.bit_length() + 1 + 7) // 8)
+    if bw > 8:
+        return False
+    # size check vs DIRECT
+    pb_size = 4 + bw + (n * w90 + 7) // 8 + (len(patch_idx) * combined + 7) // 8
+    u_direct = zigzag_encode(vals) if signed else vals.astype(np.uint64)
+    wd = closest_fixed_width(int(bit_widths(u_direct).max()))
+    if pb_size >= 2 + (n * wd + 7) // 8:
+        return False
+
+    data = reduced & ((np.uint64(1) << np.uint64(w90)) - np.uint64(1)) if w90 < 64 else reduced
+    entries = (gaps.astype(np.uint64) << np.uint64(pw)) | patch_vals
+    out.append((_PATCHED_BASE << 6) | (width_code(w90) << 1) | ((n - 1) >> 8))
+    out.append((n - 1) & 0xFF)
+    out.append(((bw - 1) << 5) | width_code(pw))
+    out.append(((pgw - 1) << 5) | len(patch_idx))
+    base_field = mag | (1 << (bw * 8 - 1)) if mn < 0 else mag
+    out.extend(_msb_bytes(base_field, bw))
+    out.extend(bit_pack(data, w90))
+    out.extend(bit_pack(entries, combined))
+    return True
+
+
+def _is_monotonic(vals: np.ndarray) -> bool:
+    d = np.diff(vals)
+    return bool(np.all(d >= 0) or np.all(d <= 0))
+
+
+def _encode_literal_chunk(out: bytearray, vals: np.ndarray, signed: bool) -> None:
+    n = len(vals)
+    if n == 1:
+        _encode_direct(out, vals, signed)
+        return
+    # int64-diff overflow guard: delta encoding needs every delta (and the
+    # value range) representable in int64
+    range_ok = int(vals.max()) - int(vals.min()) < (1 << 62)
+    if n >= 3 and range_ok and _is_monotonic(vals):
+        _encode_delta(out, vals, signed)
+        return
+    if n >= 16 and _try_encode_patched_base(out, vals, signed):
+        return
+    _encode_direct(out, vals, signed)
+
+
+def rle_v2_encode(vals: np.ndarray, signed: bool = True) -> bytes:
+    """Encode an int array as a concatenation of RLEv2 runs."""
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    if n == 0:
+        return b""
+    out = bytearray()
+    # equal-run segmentation (vectorized)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(v[1:], v[:-1], out=change[1:])
+    run_starts = np.flatnonzero(change)
+    run_lens = np.diff(np.append(run_starts, n))
+    rep_mask = run_lens >= _MIN_REPEAT
+    rep_starts = run_starts[rep_mask]
+    rep_lens = run_lens[rep_mask]
+
+    def emit_literals(lo: int, hi: int) -> None:
+        pos = lo
+        while pos < hi:
+            take = min(_MAX_RUN, hi - pos)
+            _encode_literal_chunk(out, v[pos : pos + take], signed)
+            pos += take
+
+    def emit_repeat(start: int, length: int) -> None:
+        val = int(v[start])
+        if length <= _MAX_SHORT_REPEAT:
+            _encode_short_repeat(out, val, length, signed)
+            return
+        pos = 0
+        while pos < length:
+            take = min(_MAX_RUN, length - pos)
+            if length - pos - take == 1:
+                take -= 1  # avoid a trailing 1-length chunk (delta needs >=2)
+            if take <= _MAX_SHORT_REPEAT and 3 <= take:
+                _encode_short_repeat(out, val, take, signed)
+            else:
+                _encode_delta(out, np.full(take, val, dtype=np.int64), signed)
+            pos += take
+
+    cursor = 0
+    for s, ln in zip(rep_starts.tolist(), rep_lens.tolist()):
+        if s > cursor:
+            emit_literals(cursor, s)
+        emit_repeat(s, ln)
+        cursor = s + ln
+    if cursor < n:
+        emit_literals(cursor, n)
+    return bytes(out)
+
+
+def rle_v2_decode(buf: bytes | np.ndarray, n: int, signed: bool = True) -> np.ndarray:
+    """Decode ``n`` values from a concatenation of RLEv2 runs -> int64."""
+    raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    out = np.empty(n, dtype=np.int64)
+    filled = 0
+    pos = 0
+    while filled < n:
+        header = int(raw[pos])
+        tag = header >> 6
+        if tag == _SHORT_REPEAT:
+            w = ((header >> 3) & 0x7) + 1
+            count = (header & 0x7) + 3
+            u = int.from_bytes(raw[pos + 1 : pos + 1 + w].tobytes(), "big")
+            val = int(zigzag_decode(np.array([u], dtype=np.uint64))[0]) if signed else u
+            out[filled : filled + count] = val
+            filled += count
+            pos += 1 + w
+        elif tag == _DIRECT:
+            wc = (header >> 1) & 0x1F
+            w = decode_width(wc)
+            length = (((header & 1) << 8) | int(raw[pos + 1])) + 1
+            nbytes = (length * w + 7) // 8
+            u = bit_unpack(raw[pos + 2 : pos + 2 + nbytes], w, length)
+            out[filled : filled + length] = zigzag_decode(u) if signed else u.view(np.int64)
+            filled += length
+            pos += 2 + nbytes
+        elif tag == _PATCHED_BASE:
+            wc = (header >> 1) & 0x1F
+            w = decode_width(wc)
+            length = (((header & 1) << 8) | int(raw[pos + 1])) + 1
+            b3 = int(raw[pos + 2])
+            bw = (b3 >> 5) + 1
+            pw = decode_width(b3 & 0x1F)
+            b4 = int(raw[pos + 3])
+            pgw = (b4 >> 5) + 1
+            pl = b4 & 0x1F
+            p = pos + 4
+            base_field = int.from_bytes(raw[p : p + bw].tobytes(), "big")
+            sign_mask = 1 << (bw * 8 - 1)
+            base = -(base_field & ~sign_mask) if base_field & sign_mask else base_field
+            p += bw
+            data_bytes = (length * w + 7) // 8
+            data = bit_unpack(raw[p : p + data_bytes], w, length)
+            p += data_bytes
+            combined = closest_fixed_width(pgw + pw)
+            patch_bytes = (pl * combined + 7) // 8
+            entries = bit_unpack(raw[p : p + patch_bytes], combined, pl)
+            p += patch_bytes
+            gaps = (entries >> np.uint64(pw)).astype(np.int64)
+            patch_vals = entries & ((np.uint64(1) << np.uint64(pw)) - np.uint64(1))
+            idx = np.cumsum(gaps)
+            data[idx] |= patch_vals << np.uint64(w)
+            out[filled : filled + length] = data.view(np.int64) + base
+            filled += length
+            pos = p
+        else:  # DELTA
+            wc = (header >> 1) & 0x1F
+            length = (((header & 1) << 8) | int(raw[pos + 1])) + 1
+            p = pos + 2
+            if signed:
+                ub, p = varint_decode(raw, 1, p)
+                base = int(zigzag_decode(ub)[0])
+            else:
+                ub, p = varint_decode(raw, 1, p)
+                base = int(ub[0])
+            ud, p = varint_decode(raw, 1, p)
+            d0 = int(zigzag_decode(ud)[0])
+            steps = np.empty(length, dtype=np.int64)
+            steps[0] = base
+            if length > 1:
+                steps[1] = d0
+            if wc == 0:
+                if length > 2:
+                    steps[2:] = d0
+            else:
+                w = decode_width(wc)
+                nbytes = ((length - 2) * w + 7) // 8
+                mags = bit_unpack(raw[p : p + nbytes], w, length - 2).view(np.int64)
+                steps[2:] = -mags if d0 < 0 else mags
+                p += nbytes
+            out[filled : filled + length] = np.cumsum(steps)
+            filled += length
+            pos = p
+    return out

@@ -1,0 +1,327 @@
+"""D1-D18 — pure-python ORC v1 reader subset -> Arrow.
+
+This is the capability the reference crate exposes to DataFusion
+(reference: src/physical_exec.rs:57-91 `OrcOpener` builds an async
+ORC->Arrow batch stream; src/file_format.rs:44-54 infers the Arrow schema
+from the file tail), re-expressed over numpy/pyarrow with the codec
+kernels from ``datafusion_orc_spark.codecs``.
+
+Scope: the encodings present in the reference's own test corpus
+(/root/reference/tests/basic/data/*.orc — SNAPPY, DIRECT_V2,
+DICTIONARY_V2, nested list/map/struct, decimal, date) plus NONE/ZLIB
+compression. RLEv1 (DIRECT/DICTIONARY v1 encodings) and UNION are out of
+scope and raise.
+
+Used for conformance tests (decode the corpus bit-identically vs
+pyarrow.orc) and as the F5 stream-level oracle (our RLEv2 decoder applied
+to ORC-C++-written streams).
+"""
+
+from __future__ import annotations
+
+import zlib
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+
+from datafusion_orc_spark.codecs.byterle import bool_rle_decode, byte_rle_decode
+from datafusion_orc_spark.codecs.rlev2 import rle_v2_decode
+from datafusion_orc_spark.codecs.varint import varint_decode, zigzag_decode
+from datafusion_orc_spark.format import orc_proto as proto
+
+
+def _snappy_uncompressed_len(chunk: bytes) -> int:
+    result, shift, pos = 0, 0, 0
+    while True:
+        b = chunk[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result
+        shift += 7
+
+
+def decompress_stream(raw: bytes, compression: int) -> bytes:
+    """D2 — per-stream chunked decompression (3-byte LE header =
+    (len << 1) | isOriginal; verified on the corpus postscript)."""
+    if compression == 0 or not raw:
+        return raw
+    out = bytearray()
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        hdr = raw[pos] | (raw[pos + 1] << 8) | (raw[pos + 2] << 16)
+        pos += 3
+        ln = hdr >> 1
+        chunk = raw[pos : pos + ln]
+        pos += ln
+        if hdr & 1:
+            out += chunk
+        elif compression == 1:  # ZLIB (raw deflate)
+            out += zlib.decompress(chunk, -15)
+        elif compression == 2:  # SNAPPY
+            size = _snappy_uncompressed_len(chunk)
+            out += pa.Codec("snappy").decompress(chunk, size).to_pybytes()
+        elif compression == 4:  # LZ4
+            out += pa.Codec("lz4_raw").decompress(chunk, 1 << 24).to_pybytes()
+        elif compression == 5:  # ZSTD (framed; size read from the frame)
+            out += pa.CompressedInputStream(pa.BufferReader(chunk), "zstd").read()
+        else:
+            raise NotImplementedError(f"compression kind {compression}")
+    return bytes(out)
+
+
+def _validity_buffer(valid: np.ndarray) -> pa.Buffer | None:
+    if valid.all():
+        return None
+    return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+
+
+class _StripeReader:
+    def __init__(self, orc: "OrcReader", info: proto.StripeInformation):
+        self.orc = orc
+        self.info = info
+        raw = orc._read(info.offset, info.index_length + info.data_length + info.footer_length)
+        footer = proto.parse_stripe_footer(
+            decompress_stream(raw[info.index_length + info.data_length :], orc.postscript.compression)
+        )
+        self.encodings = footer.columns
+        self.streams: dict[tuple[int, int], bytes] = {}
+        off = 0
+        for s in footer.streams:
+            self.streams[(s.column, s.kind)] = raw[off : off + s.length]
+            off += s.length
+
+    def stream(self, column: int, kind: int) -> bytes:
+        raw = self.streams.get((column, kind))
+        if raw is None:
+            return b""
+        return decompress_stream(raw, self.orc.postscript.compression)
+
+    def has_stream(self, column: int, kind: int) -> bool:
+        return (column, kind) in self.streams
+
+    # ---- column decode (recursive over the type tree) ----
+
+    def decode_column(self, col: int, n: int) -> pa.Array:
+        t = self.orc.footer.types[col]
+        valid = np.ones(n, dtype=bool)
+        if self.has_stream(col, proto.S_PRESENT):
+            valid = bool_rle_decode(self.stream(col, proto.S_PRESENT), n)
+        n_vals = int(valid.sum())
+        enc = self.encodings[col].kind
+        if enc in (proto.E_DIRECT, proto.E_DICTIONARY) and t.kind in (
+            proto.SHORT, proto.INT, proto.LONG, proto.STRING, proto.DATE, proto.DECIMAL,
+        ):
+            raise NotImplementedError("RLEv1 (pre-HIVE-8732) encodings not supported")
+
+        k = t.kind
+        if k == proto.BOOLEAN:
+            vals = bool_rle_decode(self.stream(col, proto.S_DATA), n_vals)
+            return self._primitive(pa.bool_(), vals, valid, n)
+        if k == proto.BYTE:
+            vals = byte_rle_decode(self.stream(col, proto.S_DATA), n_vals).view(np.int8)
+            return self._primitive(pa.int8(), vals, valid, n)
+        if k in (proto.SHORT, proto.INT, proto.LONG):
+            vals = rle_v2_decode(self.stream(col, proto.S_DATA), n_vals, signed=True)
+            typ = {proto.SHORT: pa.int16(), proto.INT: pa.int32(), proto.LONG: pa.int64()}[k]
+            return self._primitive(typ, vals.astype(typ.to_pandas_dtype()), valid, n)
+        if k == proto.FLOAT:
+            vals = np.frombuffer(self.stream(col, proto.S_DATA), dtype="<f4", count=n_vals)
+            return self._primitive(pa.float32(), vals, valid, n)
+        if k == proto.DOUBLE:
+            vals = np.frombuffer(self.stream(col, proto.S_DATA), dtype="<f8", count=n_vals)
+            return self._primitive(pa.float64(), vals, valid, n)
+        if k == proto.DATE:
+            vals = rle_v2_decode(self.stream(col, proto.S_DATA), n_vals, signed=True)
+            return self._primitive(pa.date32(), vals.astype(np.int32), valid, n)
+        if k in (proto.STRING, proto.VARCHAR, proto.CHAR, proto.BINARY):
+            typ = pa.binary() if k == proto.BINARY else pa.string()
+            if enc == proto.E_DICTIONARY_V2:
+                blob = self.stream(col, proto.S_DICTIONARY_DATA)
+                dict_size = self.encodings[col].dictionary_size
+                lengths = rle_v2_decode(self.stream(col, proto.S_LENGTH), dict_size, signed=False)
+                offsets = np.zeros(dict_size + 1, dtype=np.int64)
+                np.cumsum(lengths, out=offsets[1:])
+                idx = rle_v2_decode(self.stream(col, proto.S_DATA), n_vals, signed=False)
+                starts, ends = offsets[idx], offsets[idx + 1]
+                lens = ends - starts
+                out_off = np.zeros(n_vals + 1, dtype=np.int64)
+                np.cumsum(lens, out=out_off[1:])
+                b = np.frombuffer(blob, dtype=np.uint8)
+                gather = np.concatenate([b[s:e] for s, e in zip(starts, ends)]) if n_vals else np.empty(0, np.uint8)
+                return self._varlen(typ, out_off, gather.tobytes(), valid, n)
+            blob = self.stream(col, proto.S_DATA)
+            lengths = rle_v2_decode(self.stream(col, proto.S_LENGTH), n_vals, signed=False)
+            offsets = np.zeros(n_vals + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            return self._varlen(typ, offsets, blob, valid, n)
+        if k == proto.DECIMAL:
+            buf = self.stream(col, proto.S_DATA)
+            u, _ = varint_decode(buf, n_vals)
+            mantissa = zigzag_decode(u)
+            scales = rle_v2_decode(self.stream(col, proto.S_SECONDARY), n_vals, signed=True)
+            typ = pa.decimal128(t.precision or 38, t.scale)
+            py = []
+            j = 0
+            for i in range(n):
+                if valid[i]:
+                    py.append(Decimal(int(mantissa[j])).scaleb(-int(scales[j])))
+                    j += 1
+                else:
+                    py.append(None)
+            return pa.array(py, type=typ)
+        if k == proto.TIMESTAMP or k == proto.TIMESTAMP_INSTANT:
+            secs = rle_v2_decode(self.stream(col, proto.S_DATA), n_vals, signed=True)
+            nanos_enc = rle_v2_decode(self.stream(col, proto.S_SECONDARY), n_vals, signed=False).view(np.uint64)
+            zeros = (nanos_enc & np.uint64(7)).astype(np.int64)
+            nanos = (nanos_enc >> np.uint64(3)).astype(np.int64)
+            mult = np.power(10, np.where(zeros > 0, zeros + 1, 0))
+            nanos = nanos * mult
+            epoch_2015 = 1420070400  # 2015-01-01T00:00:00Z
+            total = (secs + epoch_2015) * 1_000_000_000 + np.where(secs < 0, -nanos, nanos)
+            neg_adjust = (secs < 0) & (nanos > 0)
+            total = (secs + epoch_2015) * 1_000_000_000 + nanos - neg_adjust * 1_000_000_000
+            return self._primitive(pa.timestamp("ns", tz="UTC" if k == proto.TIMESTAMP_INSTANT else None), total, valid, n)
+        if k == proto.LIST:
+            lengths = rle_v2_decode(self.stream(col, proto.S_LENGTH), n_vals, signed=False)
+            full = np.zeros(n, dtype=np.int64)
+            full[valid] = lengths
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            offsets[1:] = np.cumsum(full)
+            child = self.decode_column(t.subtypes[0], int(full.sum()))
+            typ = pa.list_(child.type)
+            return pa.ListArray.from_buffers(
+                typ, n, [_validity_buffer(valid), pa.py_buffer(offsets.astype(np.int32).tobytes())], children=[child]
+            )
+        if k == proto.MAP:
+            lengths = rle_v2_decode(self.stream(col, proto.S_LENGTH), n_vals, signed=False)
+            full = np.zeros(n, dtype=np.int64)
+            full[valid] = lengths
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            offsets[1:] = np.cumsum(full)
+            n_items = int(full.sum())
+            keys = self.decode_column(t.subtypes[0], n_items)
+            items = self.decode_column(t.subtypes[1], n_items)
+            typ = pa.map_(keys.type, items.type)
+            entry_fields = [pa.field("key", keys.type, nullable=False), pa.field("value", items.type)]
+            struct = pa.StructArray.from_arrays([keys, items], fields=entry_fields)
+            return pa.MapArray.from_buffers(
+                typ, n, [_validity_buffer(valid), pa.py_buffer(offsets.astype(np.int32).tobytes())], children=[struct]
+            )
+        if k == proto.STRUCT:
+            children = [self.decode_column(sc, n_vals) for sc in t.subtypes]
+            names = t.field_names
+            if n_vals == n:
+                return pa.StructArray.from_arrays(children, names)
+            # expand children through validity
+            mask = pa.array(~valid)
+            expanded = []
+            for ch in children:
+                idx = np.full(n, -1, dtype=np.int64)
+                idx[valid] = np.arange(n_vals)
+                expanded.append(ch.take(pa.array(np.where(valid, idx, 0))))
+            return pa.StructArray.from_arrays(expanded, names, mask=mask)
+        raise NotImplementedError(f"ORC type kind {k}")
+
+    def _primitive(self, typ: pa.DataType, vals: np.ndarray, valid: np.ndarray, n: int) -> pa.Array:
+        if len(vals) == n:
+            full = vals
+        else:
+            full = np.zeros(n, dtype=vals.dtype)
+            full[valid] = vals
+        buf = pa.py_buffer(np.ascontiguousarray(full).tobytes())
+        if typ == pa.bool_():
+            buf = pa.py_buffer(np.packbits(full.astype(bool), bitorder="little").tobytes())
+        return pa.Array.from_buffers(typ, n, [_validity_buffer(valid), buf])
+
+    def _varlen(self, typ: pa.DataType, offsets: np.ndarray, blob: bytes, valid: np.ndarray, n: int) -> pa.Array:
+        if len(offsets) - 1 == n:
+            full_off = offsets
+        else:
+            lens = np.diff(offsets)
+            full_lens = np.zeros(n, dtype=np.int64)
+            full_lens[valid] = lens
+            full_off = np.zeros(n + 1, dtype=np.int64)
+            full_off[1:] = np.cumsum(full_lens)
+        return pa.Array.from_buffers(
+            typ, n, [_validity_buffer(valid), pa.py_buffer(full_off.astype(np.int32).tobytes()), pa.py_buffer(blob)]
+        )
+
+
+class OrcReader:
+    """Read an ORC file into an Arrow table (schema inference + decode).
+
+    Mirrors the reference's read path: `fetch_schema` = tail-only read
+    (src/file_format.rs:44-54); per-stripe ranged reads
+    (src/object_store_reader.rs:40-58).
+    """
+
+    def __init__(self, path_or_bytes: str | bytes):
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            self._buf = bytes(path_or_bytes)
+        else:
+            with open(path_or_bytes, "rb") as f:
+                self._buf = f.read()
+        ps_len = self._buf[-1]
+        self.postscript = proto.parse_postscript(self._buf[-1 - ps_len : -1])
+        f_end = len(self._buf) - 1 - ps_len
+        footer_raw = self._buf[f_end - self.postscript.footer_length : f_end]
+        self.footer = proto.parse_footer(decompress_stream(footer_raw, self.postscript.compression))
+
+    def _read(self, offset: int, length: int) -> bytes:
+        return self._buf[offset : offset + length]
+
+    def schema(self) -> pa.Schema:
+        """ORC type tree -> Arrow schema (ref: file_format.rs:50-52)."""
+        root = self.footer.types[0]
+        fields = []
+        for name, sub in zip(root.field_names, root.subtypes):
+            fields.append(pa.field(name, self._arrow_type(sub)))
+        return pa.schema(fields)
+
+    def _arrow_type(self, col: int) -> pa.DataType:
+        t = self.footer.types[col]
+        k = t.kind
+        simple = {
+            proto.BOOLEAN: pa.bool_(), proto.BYTE: pa.int8(), proto.SHORT: pa.int16(),
+            proto.INT: pa.int32(), proto.LONG: pa.int64(), proto.FLOAT: pa.float32(),
+            proto.DOUBLE: pa.float64(), proto.STRING: pa.string(), proto.VARCHAR: pa.string(),
+            proto.CHAR: pa.string(), proto.BINARY: pa.binary(), proto.DATE: pa.date32(),
+            proto.TIMESTAMP: pa.timestamp("ns"),
+        }
+        if k in simple:
+            return simple[k]
+        if k == proto.DECIMAL:
+            return pa.decimal128(t.precision or 38, t.scale)
+        if k == proto.LIST:
+            return pa.list_(self._arrow_type(t.subtypes[0]))
+        if k == proto.MAP:
+            return pa.map_(self._arrow_type(t.subtypes[0]), self._arrow_type(t.subtypes[1]))
+        if k == proto.STRUCT:
+            return pa.struct([pa.field(nm, self._arrow_type(sc)) for nm, sc in zip(t.field_names, t.subtypes)])
+        raise NotImplementedError(f"type kind {k}")
+
+    def read(self, columns: list[str] | None = None) -> pa.Table:
+        """Decode all stripes -> Arrow table. ``columns`` = projection
+        pushdown by name (ref: physical_exec.rs:69-78 name->index mask)."""
+        root = self.footer.types[0]
+        names = root.field_names
+        if columns is None:
+            sel = list(range(len(names)))
+        else:
+            sel = [names.index(c) for c in columns]
+        batches = []
+        for info in self.footer.stripes:
+            sr = _StripeReader(self, info)
+            arrays = [sr.decode_column(root.subtypes[i], info.number_of_rows) for i in sel]
+            batches.append(pa.RecordBatch.from_arrays(arrays, [names[i] for i in sel]))
+        if not batches:
+            schema = pa.schema([pa.field(names[i], self._arrow_type(root.subtypes[i])) for i in sel])
+            return pa.Table.from_batches([], schema=schema)
+        return pa.Table.from_batches(batches)
+
+
+def read_orc(path: str, columns: list[str] | None = None) -> pa.Table:
+    return OrcReader(path).read(columns)
