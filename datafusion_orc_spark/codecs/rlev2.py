@@ -148,9 +148,19 @@ def _try_encode_patched_base(out: bytearray, vals: np.ndarray, signed: bool) -> 
     return True
 
 
-def _is_monotonic(vals: np.ndarray) -> bool:
+def _delta_encodable(vals: np.ndarray) -> bool:
+    """Monotonic AND direction-consistent with the decoder's sign rule.
+
+    The decoder applies packed delta magnitudes with the sign of the
+    *first* delta; a non-increasing run starting flat (e.g. [2,2,1])
+    would decode wrong, so it must not pick DELTA.
+    """
     d = np.diff(vals)
-    return bool(np.all(d >= 0) or np.all(d <= 0))
+    if len(d) == 0:
+        return True
+    if bool(np.all(d >= 0)):
+        return True
+    return bool(d[0] < 0 and np.all(d <= 0))
 
 
 def _encode_literal_chunk(out: bytearray, vals: np.ndarray, signed: bool) -> None:
@@ -161,7 +171,7 @@ def _encode_literal_chunk(out: bytearray, vals: np.ndarray, signed: bool) -> Non
     # int64-diff overflow guard: delta encoding needs every delta (and the
     # value range) representable in int64
     range_ok = int(vals.max()) - int(vals.min()) < (1 << 62)
-    if n >= 3 and range_ok and _is_monotonic(vals):
+    if n >= 3 and range_ok and _delta_encodable(vals):
         _encode_delta(out, vals, signed)
         return
     if n >= 16 and _try_encode_patched_base(out, vals, signed):

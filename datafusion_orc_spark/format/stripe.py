@@ -1,0 +1,406 @@
+"""E10 — the engine's stripe-blob container format (encode side; the
+reference crate is read-only, SURVEY.md §2.1 last row — the writer is the
+north-rule build target).
+
+A *stripe* is one Arrow batch of rows; each column encodes independently
+into a self-describing blob mirroring ORC's stripe layout (§1.4: streams
+concatenated, offsets = prefix sums, per-column encoding kind):
+
+    u8  format version (1)
+    u8  codec id
+    u32 n_rows          (LE)
+    u32 n_nulls
+    u8  n_streams
+    n_streams × (u8 stream kind, u64 stream length)
+    stream bytes, concatenated in header order
+
+Stream kinds mirror ORC's (PRESENT/DATA/LENGTH/DICTIONARY_DATA/...,
+§2.3 D10-D12) plus FSST_TABLE and META. Column pruning = skipping blob
+rows (the Spark-side analogue of the reference's projection mask,
+physical_exec.rs:69-78).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from datafusion_orc_spark.codecs.bitpack import bit_pack, bit_unpack, closest_fixed_width
+from datafusion_orc_spark.codecs.byterle import bool_rle_decode, bool_rle_encode
+from datafusion_orc_spark.codecs.rlev2 import rle_v2_decode, rle_v2_encode
+from datafusion_orc_spark.codecs.selector import choose_int_codec, choose_string_codec
+from datafusion_orc_spark.codecs.strings import (
+    dict_decode,
+    dict_encode,
+    fsst_compress_column,
+    fsst_decompress_column,
+)
+from datafusion_orc_spark.codecs.varint import (
+    varint_decode_signed,
+    varint_encode_signed,
+)
+
+FORMAT_VERSION = 1
+
+# codec ids
+CODECS = {
+    "int_rle2": 1,
+    "int_for_bp": 2,
+    "bool_rle": 3,
+    "float_raw": 4,
+    "str_direct": 5,
+    "str_dict": 6,
+    "str_fsst": 7,
+    "arr_int_rle2": 8,
+    "arr_int_for_bp": 9,
+    "arr_float_raw": 10,
+    "raw_ipc": 11,
+}
+CODEC_NAMES = {v: k for k, v in CODECS.items()}
+
+# stream kinds (mirror ORC where applicable)
+K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_DICT_LENGTH, K_FSST_TABLE, K_META = range(7)
+
+
+def _assemble(codec: str, n_rows: int, n_nulls: int, streams: list[tuple[int, bytes]]) -> bytes:
+    out = bytearray()
+    out.append(FORMAT_VERSION)
+    out.append(CODECS[codec])
+    out += int(n_rows).to_bytes(4, "little")
+    out += int(n_nulls).to_bytes(4, "little")
+    out.append(len(streams))
+    for kind, data in streams:
+        out.append(kind)
+        out += len(data).to_bytes(8, "little")
+    for _, data in streams:
+        out += data
+    return bytes(out)
+
+
+def _parse(blob: bytes) -> tuple[str, int, int, dict[int, bytes]]:
+    assert blob[0] == FORMAT_VERSION, f"bad stripe blob version {blob[0]}"
+    codec = CODEC_NAMES[blob[1]]
+    n_rows = int.from_bytes(blob[2:6], "little")
+    n_nulls = int.from_bytes(blob[6:10], "little")
+    n_streams = blob[10]
+    pos = 11
+    kinds, lens = [], []
+    for _ in range(n_streams):
+        kinds.append(blob[pos])
+        lens.append(int.from_bytes(blob[pos + 1 : pos + 9], "little"))
+        pos += 9
+    streams = {}
+    for kind, ln in zip(kinds, lens):
+        streams[kind] = blob[pos : pos + ln]
+        pos += ln
+    return codec, n_rows, n_nulls, streams
+
+
+# ------------------------------------------------------------- helpers
+
+_INT_TYPES = {
+    pa.int8(): np.int8, pa.int16(): np.int16, pa.int32(): np.int32, pa.int64(): np.int64,
+}
+
+
+def _binary_parts(arr: pa.Array) -> tuple[bytes, np.ndarray]:
+    """Dense (no-null) string/binary array -> (blob, lengths), zero-copy."""
+    lb = arr.cast(pa.large_binary())
+    bufs = lb.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64, count=len(lb) + 1, offset=lb.offset * 8)
+    lengths = np.diff(off)
+    blob = bufs[2].to_pybytes()[off[0] : off[-1]] if len(lb) else b""
+    return blob, lengths.astype(np.int64)
+
+
+def _validity_buffer(valid: np.ndarray) -> pa.Buffer | None:
+    if valid.all():
+        return None
+    return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+
+
+def _encode_for_bp(vals: np.ndarray) -> bytes:
+    mn = int(vals.min()) if len(vals) else 0
+    with np.errstate(over="ignore"):
+        reduced = (vals - np.int64(mn)).view(np.uint64)
+    width = closest_fixed_width(max(1, (int(vals.max()) - mn).bit_length())) if len(vals) else 1
+    meta = varint_encode_signed(np.array([mn], dtype=np.int64)) + bytes([width])
+    return meta, bit_pack(reduced, width)
+
+
+def _decode_for_bp(meta: bytes, data: bytes, n: int) -> np.ndarray:
+    base, pos = varint_decode_signed(meta, 1)
+    width = meta[pos]
+    return bit_unpack(data, width, n).view(np.int64) + int(base[0])
+
+
+def _int_data_streams(vals: np.ndarray, codec_prefix: str = "") -> tuple[str, list[tuple[int, bytes]]]:
+    codec, _stats = choose_int_codec(vals)
+    if codec == "int_for_bp":
+        meta, data = _encode_for_bp(vals)
+        return codec_prefix + "int_for_bp", [(K_META, meta), (K_DATA, data)]
+    return codec_prefix + "int_rle2", [(K_DATA, rle_v2_encode(vals))]
+
+
+def _int_data_decode(codec: str, streams: dict[int, bytes], n: int) -> np.ndarray:
+    if codec.endswith("int_for_bp"):
+        return _decode_for_bp(streams[K_META], streams[K_DATA], n)
+    return rle_v2_decode(streams[K_DATA], n)
+
+
+# ------------------------------------------------------------- encode
+
+def encode_column(arr: pa.Array | pa.ChunkedArray) -> tuple[bytes, dict]:
+    """Encode one column of a stripe -> (blob, stats).
+
+    Codec choice is E9 (codecs/selector.py); kernels are all vectorized.
+    Unsupported types fall back to Arrow IPC (raw_ipc) so every schema
+    round-trips.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    typ = arr.type
+    n_nulls = arr.null_count
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False) if n_nulls else np.ones(n, dtype=bool)
+    dense = arr.drop_null() if n_nulls else arr
+    present = [(K_PRESENT, bool_rle_encode(valid))] if n_nulls else []
+    stats: dict = {"n": n, "nulls": int(n_nulls), "raw_bytes": int(arr.nbytes)}
+
+    def fin(codec: str, streams: list[tuple[int, bytes]], crc_payload: bytes) -> tuple[bytes, dict]:
+        blob = _assemble(codec, n, n_nulls, present + streams)
+        stats.update(codec=codec, enc_bytes=len(blob), crc32=zlib.crc32(crc_payload) & 0xFFFFFFFF)
+        return blob, stats
+
+    # integer-like (ints, date, timestamp)
+    if typ in _INT_TYPES or pa.types.is_date32(typ) or pa.types.is_timestamp(typ):
+        if pa.types.is_date32(typ):
+            vals = dense.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+        elif pa.types.is_timestamp(typ):
+            vals = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            vals = dense.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(vals):
+            stats["min"], stats["max"] = int(vals.min()), int(vals.max())
+        codec, streams = _int_data_streams(vals)
+        return fin(codec, streams, vals.tobytes())
+
+    if pa.types.is_boolean(typ):
+        flags = dense.to_numpy(zero_copy_only=False).astype(bool)
+        return fin("bool_rle", [(K_DATA, bool_rle_encode(flags))], np.packbits(flags).tobytes())
+
+    if pa.types.is_floating(typ):
+        vals = dense.to_numpy(zero_copy_only=False)
+        return fin("float_raw", [(K_DATA, vals.tobytes())], vals.tobytes())
+
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ) or pa.types.is_binary(typ):
+        blob, lengths = _binary_parts(dense)
+        codec, sstats = choose_string_codec(dense)
+        stats.update({f"s_{k}": v for k, v in sstats.items()})
+        if codec == "str_dict":
+            dblob, dlens, idx = dict_encode(blob, lengths)
+            stats["dict_size"] = len(dlens)
+            return fin("str_dict", [
+                (K_DICT_DATA, dblob),
+                (K_DICT_LENGTH, rle_v2_encode(dlens, signed=False)),
+                (K_DATA, rle_v2_encode(idx, signed=False)),
+            ], blob)
+        if codec == "str_fsst":
+            res = fsst_compress_column(blob, lengths)
+            if res is not None:
+                tbl, data = res
+                return fin("str_fsst", [
+                    (K_FSST_TABLE, tbl),
+                    (K_LENGTH, rle_v2_encode(lengths, signed=False)),
+                    (K_DATA, data),
+                ], blob)
+        return fin("str_direct", [
+            (K_LENGTH, rle_v2_encode(lengths, signed=False)),
+            (K_DATA, blob),
+        ], blob)
+
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        child = typ.value_type
+        lengths = pc.list_value_length(dense).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(dense)
+        if flat.null_count == 0 and (child in _INT_TYPES):
+            vals = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(vals):
+                stats["min"], stats["max"] = int(vals.min()), int(vals.max())
+            codec, streams = _int_data_streams(vals, codec_prefix="arr_")
+            streams = [(K_LENGTH, rle_v2_encode(lengths, signed=False))] + streams
+            return fin(codec, streams, vals.tobytes() + lengths.tobytes())
+        if flat.null_count == 0 and pa.types.is_floating(child):
+            fvals = flat.to_numpy(zero_copy_only=False)
+            return fin("arr_float_raw", [
+                (K_LENGTH, rle_v2_encode(lengths, signed=False)),
+                (K_DATA, fvals.tobytes()),
+            ], fvals.tobytes() + lengths.tobytes())
+
+    # fallback: Arrow IPC round-trip for any type (incl. struct/map/decimal)
+    sink = pa.BufferOutputStream()
+    batch = pa.record_batch([arr], ["c"])
+    with pa.ipc.new_stream(sink, batch.schema) as w:
+        w.write_batch(batch)
+    data = sink.getvalue().to_pybytes()
+    blob = _assemble("raw_ipc", n, 0, [(K_DATA, data)])
+    stats.update(codec="raw_ipc", enc_bytes=len(blob), crc32=zlib.crc32(data) & 0xFFFFFFFF)
+    return blob, stats
+
+
+# ------------------------------------------------------------- decode
+
+def decode_column(blob: bytes, typ: pa.DataType) -> pa.Array:
+    """Inverse of :func:`encode_column` — bit-identical values."""
+    codec, n, n_nulls, streams = _parse(blob)
+    if codec == "raw_ipc":
+        with pa.ipc.open_stream(pa.BufferReader(streams[K_DATA])) as r:
+            return r.read_all().column("c").combine_chunks()
+    valid = bool_rle_decode(streams[K_PRESENT], n) if n_nulls else np.ones(n, dtype=bool)
+    n_dense = n - n_nulls
+
+    def expand_primitive(vals: np.ndarray, out_typ: pa.DataType, byte_view: np.dtype | None = None) -> pa.Array:
+        if n_nulls:
+            full = np.zeros(n, dtype=vals.dtype)
+            full[valid] = vals
+        else:
+            full = vals
+        if out_typ == pa.bool_():
+            buf = pa.py_buffer(np.packbits(full.astype(bool), bitorder="little").tobytes())
+        else:
+            buf = pa.py_buffer(np.ascontiguousarray(full).tobytes())
+        return pa.Array.from_buffers(out_typ, n, [_validity_buffer(valid), buf])
+
+    if codec in ("int_rle2", "int_for_bp"):
+        vals = _int_data_decode(codec, streams, n_dense)
+        if pa.types.is_date32(typ):
+            return expand_primitive(vals.astype(np.int32), pa.int32()).cast(typ)
+        if pa.types.is_timestamp(typ):
+            return expand_primitive(vals, pa.int64()).cast(typ)
+        np_t = _INT_TYPES[typ]
+        return expand_primitive(vals.astype(np_t), typ)
+
+    if codec == "bool_rle":
+        flags = bool_rle_decode(streams[K_DATA], n_dense)
+        return expand_primitive(flags, pa.bool_())
+
+    if codec == "float_raw":
+        np_t = np.float32 if typ == pa.float32() else np.float64
+        vals = np.frombuffer(streams[K_DATA], dtype=np_t)
+        return expand_primitive(vals, typ)
+
+    if codec in ("str_direct", "str_dict", "str_fsst"):
+        if codec == "str_dict":
+            dlens_n = _count_rle_values(streams[K_DICT_LENGTH])
+            dlens = rle_v2_decode(streams[K_DICT_LENGTH], dlens_n, signed=False)
+            idx = rle_v2_decode(streams[K_DATA], n_dense, signed=False)
+            blob_b, lengths = dict_decode(streams[K_DICT_DATA], dlens, idx)
+        elif codec == "str_fsst":
+            lengths = rle_v2_decode(streams[K_LENGTH], n_dense, signed=False)
+            blob_b, lengths = fsst_decompress_column(streams[K_FSST_TABLE], streams[K_DATA], lengths)
+        else:
+            lengths = rle_v2_decode(streams[K_LENGTH], n_dense, signed=False)
+            blob_b = streams[K_DATA]
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[valid] = lengths
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(full_lens, out=offsets[1:])
+        out_typ = pa.binary() if pa.types.is_binary(typ) else pa.string()
+        arr = pa.Array.from_buffers(
+            out_typ, n,
+            [_validity_buffer(valid), pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(blob_b)],
+        )
+        return arr.cast(typ) if arr.type != typ else arr
+
+    if codec in ("arr_int_rle2", "arr_int_for_bp", "arr_float_raw"):
+        lengths = rle_v2_decode(streams[K_LENGTH], n_dense, signed=False)
+        n_items = int(lengths.sum())
+        child_typ = typ.value_type
+        if codec == "arr_float_raw":
+            np_t = np.float32 if child_typ == pa.float32() else np.float64
+            child_vals = np.frombuffer(streams[K_DATA], dtype=np_t)
+            child = pa.array(child_vals, type=child_typ)
+        else:
+            vals = _int_data_decode(codec, streams, n_items)
+            child = pa.array(vals.astype(_INT_TYPES[child_typ]), type=child_typ)
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[valid] = lengths
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(full_lens, out=offsets[1:])
+        out = pa.ListArray.from_buffers(
+            pa.list_(child_typ), n,
+            [_validity_buffer(valid), pa.py_buffer(offsets.astype(np.int32).tobytes())],
+            children=[child],
+        )
+        return out.cast(typ) if out.type != typ else out
+
+    raise NotImplementedError(codec)
+
+
+def _count_rle_values(buf: bytes) -> int:
+    """Count values in an RLEv2 stream by walking run headers only."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    from datafusion_orc_spark.codecs.bitpack import decode_width
+    from datafusion_orc_spark.codecs.varint import varint_decode
+
+    pos, total = 0, 0
+    while pos < len(raw):
+        header = int(raw[pos])
+        tag = header >> 6
+        if tag == 0:
+            w = ((header >> 3) & 0x7) + 1
+            total += (header & 0x7) + 3
+            pos += 1 + w
+        elif tag == 1:
+            w = decode_width((header >> 1) & 0x1F)
+            ln = (((header & 1) << 8) | int(raw[pos + 1])) + 1
+            total += ln
+            pos += 2 + (ln * w + 7) // 8
+        elif tag == 2:
+            w = decode_width((header >> 1) & 0x1F)
+            ln = (((header & 1) << 8) | int(raw[pos + 1])) + 1
+            b3, b4 = int(raw[pos + 2]), int(raw[pos + 3])
+            bw = (b3 >> 5) + 1
+            pw = decode_width(b3 & 0x1F)
+            pgw = (b4 >> 5) + 1
+            pl = b4 & 0x1F
+            combined = closest_fixed_width(pgw + pw)
+            pos += 4 + bw + (ln * w + 7) // 8 + (pl * combined + 7) // 8
+            total += ln
+        else:
+            wc = (header >> 1) & 0x1F
+            ln = (((header & 1) << 8) | int(raw[pos + 1])) + 1
+            p = pos + 2
+            _, p = varint_decode(raw, 1, p)
+            _, p = varint_decode(raw, 1, p)
+            if wc:
+                w = decode_width(wc)
+                p += ((ln - 2) * w + 7) // 8
+            total += ln
+            pos = p
+    return total
+
+
+# ------------------------------------------------------------- stripe level
+
+def encode_stripe(batch: pa.RecordBatch) -> tuple[dict[str, bytes], list[dict]]:
+    """Encode a whole stripe -> ({column: blob}, per-column stats)."""
+    blobs: dict[str, bytes] = {}
+    stats: list[dict] = []
+    for i, name in enumerate(batch.schema.names):
+        blob, st = encode_column(batch.column(i))
+        st["column"] = name
+        blobs[name] = blob
+        stats.append(st)
+    return blobs, stats
+
+
+def decode_stripe(blobs: dict[str, bytes], schema: pa.Schema, columns: list[str] | None = None) -> pa.RecordBatch:
+    """Decode (a projection of) a stripe. Column pruning = only the
+    requested blobs are touched (S10 analogue)."""
+    names = columns if columns is not None else schema.names
+    arrays = [decode_column(blobs[nm], schema.field(nm).type) for nm in names]
+    return pa.RecordBatch.from_arrays(arrays, names)
