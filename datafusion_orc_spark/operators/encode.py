@@ -1,0 +1,177 @@
+"""M4 — the Spark encode/decode path.
+
+Encode: ``df.mapInArrow(encode_fn, BLOB_SCHEMA)`` — each task consumes
+its partition's Arrow batches, accumulates them into *stripes* of
+``stripe_rows`` rows (the analogue of the reference's scan batch unit,
+file_source.rs:31, and of ORC stripes, SURVEY.md §1.4/§1.5), encodes
+every column with the E9-selected codec, and emits one blob row per
+(stripe, column) plus stats. Embarrassingly parallel: no shuffle in the
+hot path (mirrors the reference's execution shape, SURVEY.md §4.2).
+
+Decode: group blob rows by stripe and rebuild the original columns with
+``applyInArrow`` (bit-identical round-trip — the north-rule invariant).
+
+Column pruning on decode = a ``WHERE column IN (...)`` filter on the
+blob table before the group-decode — the Spark-side analogue of the
+reference's projection pushdown (file_source.rs:95-102).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from datafusion_orc_spark.format.stripe import decode_stripe, encode_stripe
+
+BLOB_SCHEMA = StructType(
+    [
+        StructField("stripe_id", LongType(), False),
+        StructField("part_id", IntegerType(), False),
+        StructField("column", StringType(), False),
+        StructField("codec", StringType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("n_nulls", LongType(), False),
+        StructField("raw_bytes", LongType(), False),
+        StructField("enc_bytes", LongType(), False),
+        StructField("crc32", LongType(), False),
+        StructField("data", BinaryType(), False),
+    ]
+)
+
+_BLOB_PA_SCHEMA = pa.schema(
+    [
+        ("stripe_id", pa.int64()),
+        ("part_id", pa.int32()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_nulls", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("crc32", pa.int64()),
+        ("data", pa.binary()),
+    ]
+)
+
+DEFAULT_STRIPE_ROWS = 32768
+
+
+def _blob_batch(stripe_id: int, part_id: int, blobs: dict[str, bytes], stats: list[dict]) -> pa.RecordBatch:
+    return pa.RecordBatch.from_pydict(
+        {
+            "stripe_id": [stripe_id] * len(stats),
+            "part_id": [part_id] * len(stats),
+            "column": [s["column"] for s in stats],
+            "codec": [s["codec"] for s in stats],
+            "n_rows": [s["n"] for s in stats],
+            "n_nulls": [s["nulls"] for s in stats],
+            "raw_bytes": [s["raw_bytes"] for s in stats],
+            "enc_bytes": [s["enc_bytes"] for s in stats],
+            "crc32": [s["crc32"] for s in stats],
+            "data": [blobs[s["column"]] for s in stats],
+        },
+        schema=_BLOB_PA_SCHEMA,
+    )
+
+
+def encode_table(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS) -> DataFrame:
+    """DataFrame -> blob table (one row per stripe × column)."""
+
+    def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        part_id = TaskContext.get().partitionId()
+        seq = 0
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+
+        def flush() -> Iterator[pa.RecordBatch]:
+            nonlocal seq, buf, buffered
+            if not buf:
+                return
+            stripe = pa.Table.from_batches(buf).combine_chunks().to_batches()[0] if len(buf) > 1 else buf[0]
+            blobs, stats = encode_stripe(stripe)
+            stripe_id = (part_id << 24) | seq
+            seq += 1
+            buf, buffered = [], 0
+            yield _blob_batch(stripe_id, part_id, blobs, stats)
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            buf.append(batch)
+            buffered += batch.num_rows
+            if buffered >= stripe_rows:
+                yield from flush()
+        yield from flush()
+
+    return df.mapInArrow(encode_fn, BLOB_SCHEMA)
+
+
+def decode_table(blobs_df: DataFrame, schema: pa.Schema | None, spark_schema, columns: list[str] | None = None) -> DataFrame:
+    """Blob table -> original rows (projection via ``columns``).
+
+    ``spark_schema``: the Spark StructType of the original table (used
+    as the applyInArrow output schema); ``schema``: matching Arrow
+    schema (derived from spark_schema if None).
+    """
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if schema is None:
+        schema = to_arrow_schema(spark_schema)
+    names = columns if columns is not None else list(schema.names)
+    if columns is not None:
+        blobs_df = blobs_df.filter(F.col("column").isin(columns))
+        spark_schema = StructType([f for f in spark_schema.fields if f.name in columns])
+
+    def decode_fn(table: pa.Table) -> pa.Table:
+        blob_by_col = dict(zip(table.column("column").to_pylist(), table.column("data").to_pylist()))
+        batch = decode_stripe(blob_by_col, schema, columns=names)
+        return pa.Table.from_batches([batch])
+
+    return blobs_df.groupBy("stripe_id").applyInArrow(decode_fn, spark_schema)
+
+
+def verify_roundtrip(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS) -> tuple[bool, dict]:
+    """Encode -> decode -> order-insensitive equality vs the input.
+
+    Uses a content hash over every row (xxhash64 of all columns), summed
+    — fully distributed, no driver-side collect of data rows.
+    """
+    blobs = encode_table(df, stripe_rows=stripe_rows).cache()
+    decoded = decode_table(blobs, None, df.schema)
+
+    def content_hash(frame: DataFrame):
+        cols = [F.col(c).cast("string") for c in frame.columns]
+        row_hash = F.xxhash64(*cols).cast("decimal(38,0)")  # decimal: no ANSI overflow
+        return frame.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(row_hash).alias("hash_sum"),
+        ).collect()[0]
+
+    a = content_hash(df)
+    b = content_hash(decoded)
+    sizes = blobs.agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+    ).collect()[0]
+    blobs.unpersist()
+    ok = a["rows"] == b["rows"] and a["hash_sum"] == b["hash_sum"]
+    return ok, {
+        "rows": a["rows"],
+        "raw_bytes": sizes["raw"],
+        "enc_bytes": sizes["enc"],
+        "ratio": (sizes["raw"] or 1) / max(1, sizes["enc"] or 1),
+    }

@@ -1,0 +1,84 @@
+"""M4 — Spark encode/decode path end-to-end on local Spark."""
+
+import numpy as np
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_orc_spark.operators.encode import decode_table, encode_table, verify_roundtrip
+from datafusion_orc_spark.sources.tokens import synthetic_sequences, tokenized_sequences
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("datafusion-orc-spark-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def test_tokenized_sequences_shape(spark):
+    seqs = tokenized_sequences(spark, SF_DIR)
+    assert [f.name for f in seqs.schema.fields] == ["doc_id", "tokens", "n_tok", "source"]
+    row = seqs.first()
+    assert row.doc_id.startswith("doc-")
+    assert all(0 <= t < 50257 for t in row.tokens)
+    assert row.n_tok == len(row.tokens)
+
+
+def test_roundtrip_tokens_table(spark):
+    seqs = tokenized_sequences(spark, SF_DIR).repartition(4)
+    ok, info = verify_roundtrip(seqs, stripe_rows=128)
+    assert ok, info
+    assert info["rows"] == seqs.count()
+    assert info["enc_bytes"] < info["raw_bytes"], info
+
+
+def test_roundtrip_synthetic(spark):
+    seqs = synthetic_sequences(spark, 500).repartition(3)
+    ok, info = verify_roundtrip(seqs, stripe_rows=100)
+    assert ok, info
+
+
+def test_roundtrip_lineitem(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(4)
+    ok, info = verify_roundtrip(df, stripe_rows=1000)
+    assert ok, info
+    assert info["ratio"] > 1.0
+
+
+def test_decode_projection(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(2)
+    blobs = encode_table(df, stripe_rows=2000).cache()
+    proj = decode_table(blobs, None, df.schema, columns=["l_orderkey", "l_quantity"])
+    assert proj.columns == ["l_orderkey", "l_quantity"]
+    assert proj.count() == df.count()
+    assert proj.agg(F.sum("l_quantity")).collect()[0][0] == df.agg(F.sum("l_quantity")).collect()[0][0]
+    blobs.unpersist()
+
+
+def test_per_row_token_equality(spark):
+    """The north-rule invariant: token-array equality per row."""
+    seqs = tokenized_sequences(spark, SF_DIR)
+    blobs = encode_table(seqs.repartition(2), stripe_rows=200)
+    decoded = decode_table(blobs, None, seqs.schema)
+    joined = (
+        seqs.alias("a")
+        .join(decoded.alias("b"), "doc_id")
+        .select(
+            (F.col("a.tokens") == F.col("b.tokens")).alias("tok_eq"),
+            (F.col("a.source") == F.col("b.source")).alias("src_eq"),
+        )
+    )
+    agg = joined.agg(F.count(F.lit(1)).alias("n"), F.sum(F.when(F.col("tok_eq") & F.col("src_eq"), 0).otherwise(1)).alias("bad")).collect()[0]
+    assert agg["n"] == seqs.count()
+    assert agg["bad"] == 0
