@@ -1,0 +1,601 @@
+"""The engine's query surface — every entry pairs a PySpark DataFrame
+program with an equivalent DuckDB oracle SQL (None = non-SQL-expressible,
+driver does a rows-only check).
+
+Sections:
+  1. relational queries over the TPC-H-ish tables — the operator classes
+     the reference inherits from DataFusion (SURVEY.md §2.2): projection,
+     filter, aggregate, join (broadcast + shuffle), window, top-k,
+     set ops;
+  2. encode-engine queries — encode→decode→aggregate round-trips checked
+     against DuckDB on the *raw* data (the oracle passes iff codecs are
+     bit-identical), plus codec/metrics introspection;
+  3. training-pipeline operators — dedup (exact/minhash/simhash), text
+     analysis (token counting, quality, language-ID, fingerprinting),
+     similarity search (brute-force cosine top-k; LSH-bucketed variant).
+
+All Spark code is DataFrame/SQL (JVM-vectorized); Python only inside
+mapInArrow codec kernels.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_orc_spark.functions import dialect as dl
+
+SPARK, DUCK = 0, 1
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it"]
+STOPWORDS_DE = ["der", "die", "und", "das", "ist", "zu", "den", "ein"]
+STOPWORDS_FR = ["le", "la", "et", "les", "des", "est", "un", "une"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# 1. relational surface (inherited-operator parity, SURVEY.md §2.2)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + group-agg (map-side partials)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") < 24)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_quantity < 24
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (broadcast dim) + agg + top-k."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 10
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through region/nation (broadcast chain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT r_name, n_name, ROUND(SUM(l_extendedprice), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+
+def q_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: rank orders per customer by price, keep top 3."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rnk")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+SQL_ORDER_RANKS = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk
+"""
+
+
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct/agg over the events table (semi-structured props)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+       ROUND(SUM(value), 3) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. encode-engine queries (the north-rule surface)
+# --------------------------------------------------------------------------
+
+def q_roundtrip_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode→decode lineitem with our codecs, then aggregate the DECODED
+    rows; the DuckDB oracle aggregates the RAW parquet — equal results
+    prove the round-trip is value-identical."""
+    from datafusion_orc_spark.operators.encode import decode_table, encode_table
+
+    li = _t(spark, sf_dir, "lineitem").repartition(8)
+    blobs = encode_table(li, stripe_rows=16384)
+    dec = decode_table(blobs, None, li.schema)
+    return (
+        dec.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_ROUNDTRIP_LINEITEM_AGG = """
+SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_roundtrip_tokens_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize documents → encode → decode → per-source aggregates of the
+    decoded token arrays; oracle recomputes from raw text in DuckDB."""
+    from datafusion_orc_spark.operators.encode import decode_table, encode_table
+    from datafusion_orc_spark.sources.tokens import tokenized_sequences
+
+    seqs = tokenized_sequences(spark, sf_dir).repartition(8)
+    blobs = encode_table(seqs, stripe_rows=4096)
+    dec = decode_table(blobs, None, seqs.schema)
+    return (
+        dec.select(
+            "source",
+            "n_tok",
+            F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("tok_sum"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("tok_sum").alias("token_value_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_ROUNDTRIP_TOKENS_AGG = f"""
+SELECT source, COUNT(*) AS docs,
+       SUM(len({dl.tokens(DUCK)})) AS total_tokens,
+       SUM({dl.list_sum(DUCK, dl.tokens(DUCK))}) AS token_value_sum
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine introspection: which codec won per column, sizes, ratio.
+    Non-SQL-expressible (engine-internal) -> rows-only driver check."""
+    from datafusion_orc_spark.operators.encode import encode_table
+    from datafusion_orc_spark.sources.tokens import tokenized_sequences
+
+    seqs = tokenized_sequences(spark, sf_dir).repartition(4)
+    blobs = encode_table(seqs, stripe_rows=4096)
+    return (
+        blobs.groupBy("column", "codec")
+        .agg(
+            F.count(F.lit(1)).alias("stripes"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .withColumn("ratio", F.round(F.col("raw_bytes") / F.col("enc_bytes"), 3))
+        .orderBy("column", "codec")
+    )
+
+
+# --------------------------------------------------------------------------
+# 3a. text analysis
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = dl.tokens(SPARK)
+    return (
+        docs.select("source", F.expr(f"size({dl.words(SPARK)})").alias("n_words"),
+                    F.expr(f"size(array_distinct({toks}))").alias("n_distinct_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_distinct_tok").alias("total_distinct_tokens"),
+            F.round(F.avg("n_words"), 6).alias("avg_words"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT source, COUNT(*) AS docs,
+       SUM(len({dl.words(DUCK)})) AS total_words,
+       SUM(len(list_distinct({dl.tokens(DUCK)}))) AS total_distinct_tokens,
+       ROUND(AVG(len({dl.words(DUCK)})), 6) AS avg_words
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, word-length, stopword-ratio heuristics."""
+    docs = _t(spark, sf_dir, "documents")
+    w = dl.words(SPARK)
+    sw = dl.stopword_hits(SPARK, w, STOPWORDS_EN)
+    return (
+        docs.select(
+            "lang",
+            F.expr(f"size({w})").alias("n_words"),
+            (F.col("n_chars") / F.expr(f"greatest(size({w}), 1)")).alias("avg_wlen"),
+            (F.expr(sw) / F.expr(f"greatest(size({w}), 1)")).alias("stop_ratio"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("avg_wlen"), 6).alias("avg_word_len"),
+            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+            F.sum(F.when((F.col("n_words") >= 10) & (F.col("stop_ratio") > 0), 1).otherwise(0)).alias("quality_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_QUALITY_SCORES = f"""
+WITH d AS (
+  SELECT lang,
+         len({dl.words(DUCK)}) AS n_words,
+         n_chars / GREATEST(len({dl.words(DUCK)}), 1) AS avg_wlen,
+         {dl.stopword_hits(DUCK, dl.words(DUCK), STOPWORDS_EN)}
+           / CAST(GREATEST(len({dl.words(DUCK)}), 1) AS DOUBLE) AS stop_ratio
+  FROM documents)
+SELECT lang, COUNT(*) AS docs,
+       ROUND(AVG(avg_wlen), 6) AS avg_word_len,
+       ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio,
+       SUM(CASE WHEN n_words >= 10 AND stop_ratio > 0 THEN 1 ELSE 0 END) AS quality_docs
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-hit votes (en/de/fr) -> confusion matrix."""
+    docs = _t(spark, sf_dir, "documents")
+    w = dl.words(SPARK)
+    hits = {
+        "en": dl.stopword_hits(SPARK, w, STOPWORDS_EN),
+        "de": dl.stopword_hits(SPARK, w, STOPWORDS_DE),
+        "fr": dl.stopword_hits(SPARK, w, STOPWORDS_FR),
+    }
+    pred = (
+        f"CASE WHEN {hits['de']} > {hits['en']} AND {hits['de']} >= {hits['fr']} THEN 'de' "
+        f"WHEN {hits['fr']} > {hits['en']} AND {hits['fr']} > {hits['de']} THEN 'fr' "
+        f"ELSE 'en' END"
+    )
+    return (
+        docs.select("lang", F.expr(pred).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _sql_lang_id() -> str:
+    w = dl.words(DUCK)
+    hits = {
+        "en": dl.stopword_hits(DUCK, w, STOPWORDS_EN),
+        "de": dl.stopword_hits(DUCK, w, STOPWORDS_DE),
+        "fr": dl.stopword_hits(DUCK, w, STOPWORDS_FR),
+    }
+    pred = (
+        f"CASE WHEN {hits['de']} > {hits['en']} AND {hits['de']} >= {hits['fr']} THEN 'de' "
+        f"WHEN {hits['fr']} > {hits['en']} AND {hits['fr']} > {hits['de']} THEN 'fr' "
+        f"ELSE 'en' END"
+    )
+    return (
+        f"SELECT lang, {pred} AS predicted, COUNT(*) AS n FROM documents "
+        f"GROUP BY lang, predicted ORDER BY lang, predicted"
+    )
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (token-sum polynomial)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = dl.tokens(SPARK)
+    fp = f"({dl.list_sum(SPARK, toks)} * 31 + size({toks}) * 7) % {dl.FP_PRIME}"
+    return (
+        docs.select("source", F.expr(fp).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("fp").alias("distinct_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT source, COUNT(*) AS docs,
+       COUNT(DISTINCT ({dl.list_sum(DUCK, dl.tokens(DUCK))} * 31
+                       + len({dl.tokens(DUCK)}) * 7) % {dl.FP_PRIME}) AS distinct_fp
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# 3b. deduplication
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (md5) — hash-groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("h").alias("distinct_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("exact_dupes"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT source, COUNT(*) AS docs, COUNT(DISTINCT md5(text)) AS distinct_docs,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS exact_dupes
+FROM documents GROUP BY source ORDER BY source
+"""
+
+_MINHASH_PERMS = [(1299721, 15485863), (7919, 104729), (50331653, 999983), (2654435761, 40503)]
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH: 4 permutations = 4 bands of 1 hash each; docs sharing
+    any band bucket are near-dup candidates. Output: per-band bucket
+    sizes >= 2 (candidate clusters)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = dl.tokens(SPARK)
+    sel = [F.col("doc_id")]
+    for i, (a, b) in enumerate(_MINHASH_PERMS):
+        sel.append(F.expr(dl.minhash(SPARK, toks, a, b)).alias(f"mh{i}"))
+    sig = docs.select(*sel)
+    bands = None
+    for i in range(len(_MINHASH_PERMS)):
+        band = sig.select(F.lit(i).alias("band"), F.col(f"mh{i}").alias("bucket"))
+        bands = band if bands is None else bands.unionAll(band)
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("band", "bucket")
+    )
+
+
+def _sql_dedup_minhash() -> str:
+    toks = dl.tokens(DUCK)
+    parts = []
+    for i, (a, b) in enumerate(_MINHASH_PERMS):
+        parts.append(f"SELECT {i} AS band, {dl.minhash(DUCK, toks, a, b)} AS bucket FROM documents")
+    union = " UNION ALL ".join(parts)
+    return (
+        f"SELECT band, bucket, COUNT(*) AS n_docs FROM ({union}) "
+        f"GROUP BY band, bucket HAVING COUNT(*) >= 2 ORDER BY band, bucket"
+    )
+
+
+SQL_DEDUP_MINHASH = _sql_dedup_minhash()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) near-dup clustering: per-source distinct simhash."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dl.simhash(SPARK, dl.tokens(SPARK))
+    return (
+        docs.select("source", F.expr(sh).alias("simhash"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("simhash").alias("distinct_simhash"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+SELECT source, COUNT(*) AS docs,
+       COUNT(DISTINCT {dl.simhash(DUCK, dl.tokens(DUCK))}) AS distinct_simhash
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# 3c. similarity search
+# --------------------------------------------------------------------------
+
+# Cross-engine float determinism: quantize embeddings to integers
+# (round(x*1000)), compute exact integer dot products and squared norms,
+# then a single double sqrt/divide — IEEE-identical in Spark and DuckDB.
+_QUANT_SPARK = "transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+_COS_SPARK = (
+    "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE) / "
+    "(sqrt(CAST(aggregate(qa, 0L, (acc, v) -> acc + v * v) AS DOUBLE)) * "
+    " sqrt(CAST(aggregate(qb, 0L, (acc, v) -> acc + v * v) AS DOUBLE)))"
+)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the ANN correctness baseline.
+
+    Query set = vec_id < 5 (broadcast); ranked by cosine rounded to 1e-6
+    with vec_id tiebreak (deterministic across engines)."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "q", F.expr(_QUANT_SPARK.format(col="embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < 5).alias("a")
+    c = emb.alias("b")
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("a.q").alias("qa"),
+            F.col("b.q").alias("qb"),
+        )
+        .select("query_id", "neighbor_id", F.round(F.expr(_COS_SPARK), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("query_id", "rnk")
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(
+           CAST(list_sum(list_transform(range(1, len(a.qe) + 1),
+                i -> a.qe[i] * b.qe[i])) AS DOUBLE) /
+           (sqrt(CAST(list_sum(list_transform(a.qe, x -> x * x)) AS DOUBLE)) *
+            sqrt(CAST(list_sum(list_transform(b.qe, x -> x * x)) AS DOUBLE))), 6) AS cos
+  FROM q a, q b
+  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM pairs) WHERE rnk <= 10 ORDER BY query_id, rnk
+"""
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN scale path: sign-random-projection buckets.
+
+    Hyperplanes are deterministic pseudo-random (hash of dim index);
+    output = bucket histogram (rows-only check: float reductions across
+    engines make hash-oracle comparison brittle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # 8 hyperplanes; weight for (plane p, dim i) = sin(p*131 + i*17) — deterministic
+    bits = []
+    for p in range(8):
+        proj = (
+            f"aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
+            f"(x, i) -> CAST(x AS DOUBLE) * sin({p} * 131 + i * 17)), 0D, (a, v) -> a + v)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return (
+        emb.select(F.expr(bucket).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # relational parity
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "order_ranks": (q_order_ranks, SQL_ORDER_RANKS),
+    "event_type_stats": (q_event_type_stats, SQL_EVENT_TYPE_STATS),
+    # encode engine
+    "roundtrip_lineitem_agg": (q_roundtrip_lineitem_agg, SQL_ROUNDTRIP_LINEITEM_AGG),
+    "roundtrip_tokens_agg": (q_roundtrip_tokens_agg, SQL_ROUNDTRIP_TOKENS_AGG),
+    "codec_stats": (q_codec_stats, None),
+    # text analysis
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    # dedup
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    # similarity
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, None),
+}

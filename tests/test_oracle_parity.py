@@ -1,0 +1,86 @@
+"""Driver-emulation: run every queries() entry on Spark at sf0.01 and its
+oracle_sql() on DuckDB over the same parquet; compare row-count, schema
+(column names), and order-insensitive values — the CORRECTNESS gate."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("oracle-parity")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        else:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+ORACLES = entrymod.oracle_sql()
+ALL = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = ALL[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(ORACLES[name]).df()
+    assert list(sorted(sdf.columns)) == list(sorted(odf.columns)), (
+        f"{name}: spark cols {sorted(sdf.columns)} != oracle cols {sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} rows vs oracle {len(odf)}"
+    a, b = _normalize(sdf), _normalize(odf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = ALL[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None
