@@ -31,9 +31,13 @@ from datafusion_orc_spark.codecs.bitpack import (
 )
 from datafusion_orc_spark.codecs.varint import (
     varint_decode,
+    varint_decode_scalar,
     varint_encode,
+    varint_encode_scalar,
     zigzag_decode,
+    zigzag_decode_scalar,
     zigzag_encode,
+    zigzag_scalar,
 )
 
 _MAX_RUN = 512
@@ -53,7 +57,7 @@ def _msb_bytes(value: int, nbytes: int) -> bytes:
 
 
 def _encode_short_repeat(out: bytearray, value: int, count: int, signed: bool) -> None:
-    u = int(zigzag_encode(np.array([value], dtype=np.int64))[0]) if signed else int(value)
+    u = zigzag_scalar(value) if signed else int(value)
     w = max(1, (u.bit_length() + 7) // 8)
     out.append((_SHORT_REPEAT << 6) | ((w - 1) << 3) | (count - 3))
     out.extend(_msb_bytes(u, w))
@@ -61,17 +65,18 @@ def _encode_short_repeat(out: bytearray, value: int, count: int, signed: bool) -
 
 def _encode_direct(out: bytearray, vals: np.ndarray, signed: bool) -> None:
     u = zigzag_encode(vals) if signed else vals.astype(np.uint64, copy=False)
-    w = closest_fixed_width(int(bit_widths(u).max()))
+    w = closest_fixed_width(max(1, int(u.max()).bit_length()))
     n = len(vals)
     out.append((_DIRECT << 6) | (width_code(w) << 1) | ((n - 1) >> 8))
     out.append((n - 1) & 0xFF)
     out.extend(bit_pack(u, w))
 
 
-def _encode_delta(out: bytearray, vals: np.ndarray, signed: bool) -> None:
+def _encode_delta(out: bytearray, vals: np.ndarray, signed: bool, deltas: np.ndarray | None = None) -> None:
     n = len(vals)
     base = int(vals[0])
-    deltas = np.diff(vals.astype(np.int64))
+    if deltas is None:
+        deltas = np.diff(vals)
     d0 = int(deltas[0]) if n > 1 else 0
     fixed = n <= 2 or bool(np.all(deltas == deltas[0]))
     if fixed:
@@ -79,18 +84,15 @@ def _encode_delta(out: bytearray, vals: np.ndarray, signed: bool) -> None:
         packed = b""
     else:
         mags = np.abs(deltas[1:]).astype(np.uint64)
-        w = closest_fixed_width(int(bit_widths(mags).max()))
+        w = closest_fixed_width(max(1, int(mags.max()).bit_length()))
         if w == 1:
             w = 2  # delta encoding cannot express width 1 (code 0 means fixed)
         wc = width_code(w)
         packed = bit_pack(mags, w)
     out.append((_DELTA << 6) | (wc << 1) | ((n - 1) >> 8))
     out.append((n - 1) & 0xFF)
-    if signed:
-        out.extend(varint_encode(zigzag_encode(np.array([base], dtype=np.int64))))
-    else:
-        out.extend(varint_encode(np.array([base], dtype=np.uint64)))
-    out.extend(varint_encode(zigzag_encode(np.array([d0], dtype=np.int64))))
+    out.extend(varint_encode_scalar(zigzag_scalar(base) if signed else base))
+    out.extend(varint_encode_scalar(zigzag_scalar(d0)))
     out.extend(packed)
 
 
@@ -108,7 +110,9 @@ def _try_encode_patched_base(out: bytearray, vals: np.ndarray, signed: bool) -> 
         reduced = (vals.astype(np.int64) - np.int64(mn)).view(np.uint64)
     widths = bit_widths(reduced)
     wmax = closest_fixed_width(int(widths.max()))
-    w90 = closest_fixed_width(int(np.percentile(widths, 90)))
+    # p90 width = smallest w covering >=90% of values (bincount, no interpolation)
+    cum = np.cumsum(np.bincount(widths, minlength=65))
+    w90 = closest_fixed_width(int(np.argmax(cum >= -(-9 * n // 10))))
     if w90 >= wmax:
         return False
     patch_idx = np.flatnonzero(widths > w90)
@@ -163,20 +167,111 @@ def _delta_encodable(vals: np.ndarray) -> bool:
     return bool(d[0] < 0 and np.all(d <= 0))
 
 
-def _encode_literal_chunk(out: bytearray, vals: np.ndarray, signed: bool) -> None:
-    n = len(vals)
-    if n == 1:
-        _encode_direct(out, vals, signed)
+def _encode_literal_segment(out: bytearray, v: np.ndarray, signed: bool) -> None:
+    """Encode a literal (run-free) segment as <=512-value runs.
+
+    Per-chunk mode stats (max width, monotonicity, p90 width, patch
+    count) are computed VECTORIZED across all chunks at once; DIRECT
+    chunks of equal width are then bit-packed in one batched call
+    (512·w bits is always byte-aligned, so the group blob splits
+    cleanly). Only DELTA/PATCHED_BASE chunks encode individually.
+    """
+    from datafusion_orc_spark.codecs.bitpack import CLOSEST_TABLE
+
+    L = len(v)
+    if L == 0:
         return
-    # int64-diff overflow guard: delta encoding needs every delta (and the
-    # value range) representable in int64
-    range_ok = int(vals.max()) - int(vals.min()) < (1 << 62)
-    if n >= 3 and range_ok and _delta_encodable(vals):
-        _encode_delta(out, vals, signed)
-        return
-    if n >= 16 and _try_encode_patched_base(out, vals, signed):
-        return
-    _encode_direct(out, vals, signed)
+    u = zigzag_encode(v) if signed else v.view(np.uint64)
+    starts = np.arange(0, L, _MAX_RUN)
+    ends = np.minimum(starts + _MAX_RUN, L)
+    sizes = ends - starts
+    k = len(starts)
+    # per-chunk DIRECT width from the chunk max (k values, not L)
+    w_dir = bit_widths(np.maximum.reduceat(u, starts))
+    cmin = np.minimum.reduceat(v, starts)
+    cmax = np.maximum.reduceat(v, starts)
+    with np.errstate(over="ignore"):
+        span = cmax - cmin
+    range_ok = span >= 0
+    range_ok &= span < (1 << 62)
+
+    # delta eligibility: monotonic within the chunk, direction matching
+    # the first delta's sign (see _delta_encodable)
+    if L > 1:
+        d = np.diff(v)
+        nonneg = d >= 0
+        nonpos = d <= 0
+        cross = ends[:-1] - 1  # cross-chunk deltas: neutralize
+        nonneg[cross] = True
+        nonpos[cross] = True
+        red_starts = np.minimum(starts, len(d) - 1)
+        inc = np.minimum.reduceat(nonneg, red_starts)
+        dec = np.minimum.reduceat(nonpos, red_starts)
+        d0 = d[red_starts]
+        delta_ok = (sizes >= 3) & range_ok & (inc | (dec & (d0 < 0)))
+    else:
+        delta_ok = np.zeros(k, dtype=bool)
+
+    # PATCHED_BASE eligibility — advisory gate on a 1-in-4 SAMPLE of each
+    # chunk (p90 width via per-chunk width histograms); the per-chunk
+    # encoder re-validates exactly and falls back to DIRECT when the gate
+    # was optimistic, so sampling never affects correctness.
+    pb_ok = np.zeros(k, dtype=bool)
+    eligible = (~delta_ok) & (sizes >= 16) & (cmin != -(1 << 63)) & range_ok
+    if eligible.any():
+        stride = 4
+        sample_pos = np.arange(0, L, stride)
+        schunk = sample_pos // _MAX_RUN
+        with np.errstate(over="ignore"):
+            reduced_s = (v[sample_pos] - cmin[schunk]).view(np.uint64)
+        rw = bit_widths(reduced_s)
+        hist = np.bincount(schunk * 65 + rw, minlength=k * 65).reshape(k, 65)
+        cum = np.cumsum(hist, axis=1)
+        n_s = np.bincount(schunk, minlength=k)
+        thresh = np.maximum(-(-9 * n_s // 10), 1)  # ceil(0.9 * sample size)
+        w90 = CLOSEST_TABLE[np.argmax(cum >= thresh[:, None], axis=1)]
+        wmax_red = CLOSEST_TABLE[np.max(np.where(hist > 0, np.arange(65)[None, :], 0), axis=1)]
+        covered = np.take_along_axis(cum, np.minimum(w90, 64)[:, None].astype(np.int64), 1)[:, 0]
+        patches_scaled = (n_s - covered) * stride  # extrapolate sample->chunk
+        pb_ok = eligible & (w90 < wmax_red) & (patches_scaled >= 1) & (patches_scaled <= _MAX_PATCHES * 2)
+
+    pieces: list[bytes | None] = [None] * k
+    groups: dict[int, list[int]] = {}
+    for i in range(k):
+        s, e = int(starts[i]), int(ends[i])
+        if delta_ok[i]:
+            buf = bytearray()
+            _encode_delta(buf, v[s:e], signed, deltas=d[s : e - 1])
+            pieces[i] = bytes(buf)
+        elif pb_ok[i]:
+            buf = bytearray()
+            if _try_encode_patched_base(buf, v[s:e], signed):
+                pieces[i] = bytes(buf)
+            else:
+                groups.setdefault(int(w_dir[i]), []).append(i)
+        else:
+            groups.setdefault(int(w_dir[i]), []).append(i)
+
+    for wraw, idxs in groups.items():
+        w = closest_fixed_width(wraw)
+        hdr = bytes([(_DIRECT << 6) | (width_code(w) << 1) | ((_MAX_RUN - 1) >> 8), (_MAX_RUN - 1) & 0xFF])
+        block = (_MAX_RUN * w) // 8  # byte-aligned: 512·w ≡ 0 (mod 8)
+        full = [i for i in idxs if sizes[i] == _MAX_RUN]
+        if full:
+            concat = u[starts[full[0]] : ends[full[0]]] if len(full) == 1 else np.concatenate(
+                [u[starts[i] : ends[i]] for i in full]
+            )
+            packed = bit_pack(concat, w)
+            for j, i in enumerate(full):
+                pieces[i] = hdr + packed[j * block : (j + 1) * block]
+        for i in idxs:
+            if sizes[i] != _MAX_RUN:
+                buf = bytearray()
+                _encode_direct(buf, v[starts[i] : ends[i]], signed)
+                pieces[i] = bytes(buf)
+
+    for p in pieces:
+        out += p
 
 
 def rle_v2_encode(vals: np.ndarray, signed: bool = True) -> bytes:
@@ -191,17 +286,15 @@ def rle_v2_encode(vals: np.ndarray, signed: bool = True) -> bytes:
     change[0] = True
     np.not_equal(v[1:], v[:-1], out=change[1:])
     run_starts = np.flatnonzero(change)
-    run_lens = np.diff(np.append(run_starts, n))
+    run_lens = np.empty(len(run_starts), dtype=np.int64)
+    run_lens[:-1] = run_starts[1:] - run_starts[:-1]
+    run_lens[-1] = n - run_starts[-1]
     rep_mask = run_lens >= _MIN_REPEAT
     rep_starts = run_starts[rep_mask]
     rep_lens = run_lens[rep_mask]
 
     def emit_literals(lo: int, hi: int) -> None:
-        pos = lo
-        while pos < hi:
-            take = min(_MAX_RUN, hi - pos)
-            _encode_literal_chunk(out, v[pos : pos + take], signed)
-            pos += take
+        _encode_literal_segment(out, v[lo:hi], signed)
 
     def emit_repeat(start: int, length: int) -> None:
         val = int(v[start])
@@ -243,7 +336,7 @@ def rle_v2_decode(buf: bytes | np.ndarray, n: int, signed: bool = True) -> np.nd
             w = ((header >> 3) & 0x7) + 1
             count = (header & 0x7) + 3
             u = int.from_bytes(raw[pos + 1 : pos + 1 + w].tobytes(), "big")
-            val = int(zigzag_decode(np.array([u], dtype=np.uint64))[0]) if signed else u
+            val = zigzag_decode_scalar(u) if signed else u
             out[filled : filled + count] = val
             filled += count
             pos += 1 + w
@@ -289,14 +382,10 @@ def rle_v2_decode(buf: bytes | np.ndarray, n: int, signed: bool = True) -> np.nd
             wc = (header >> 1) & 0x1F
             length = (((header & 1) << 8) | int(raw[pos + 1])) + 1
             p = pos + 2
-            if signed:
-                ub, p = varint_decode(raw, 1, p)
-                base = int(zigzag_decode(ub)[0])
-            else:
-                ub, p = varint_decode(raw, 1, p)
-                base = int(ub[0])
-            ud, p = varint_decode(raw, 1, p)
-            d0 = int(zigzag_decode(ud)[0])
+            ub, p = varint_decode_scalar(raw, p)
+            base = zigzag_decode_scalar(ub) if signed else ub
+            ud, p = varint_decode_scalar(raw, p)
+            d0 = zigzag_decode_scalar(ud)
             steps = np.empty(length, dtype=np.int64)
             steps[0] = base
             if length > 1:

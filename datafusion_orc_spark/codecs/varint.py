@@ -77,6 +77,44 @@ def varint_decode(buf: np.ndarray | bytes, n: int, pos: int = 0) -> tuple[np.nda
     return out, pos + int(ends[n - 1]) + 1
 
 
+def varint_decode_scalar(raw, pos: int) -> tuple[int, int]:
+    """Decode ONE varint at ``pos`` — reads only its own bytes (the
+    vectorized decoder scans the whole remaining window to find
+    terminators, which is O(buffer) per call and quadratic when used
+    per-run)."""
+    result = 0
+    shift = 0
+    while True:
+        b = int(raw[pos])
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def zigzag_decode_scalar(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def varint_encode_scalar(x: int) -> bytes:
+    """LEB128 of one unsigned int — pure-python fast path (the numpy
+    matrix version costs ~50µs of dispatch per call; this is ~1µs)."""
+    out = bytearray()
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag_scalar(x: int) -> int:
+    return (x << 1) ^ (x >> 63) if x >= 0 else ((-x - 1) << 1) + 1
+
+
 def varint_encode_signed(vals: np.ndarray) -> bytes:
     """Zigzag then LEB128."""
     return varint_encode(zigzag_encode(np.asarray(vals)))

@@ -344,7 +344,7 @@ def _count_rle_values(buf: bytes) -> int:
     """Count values in an RLEv2 stream by walking run headers only."""
     raw = np.frombuffer(buf, dtype=np.uint8)
     from datafusion_orc_spark.codecs.bitpack import decode_width
-    from datafusion_orc_spark.codecs.varint import varint_decode
+    from datafusion_orc_spark.codecs.varint import varint_decode_scalar
 
     pos, total = 0, 0
     while pos < len(raw):
@@ -374,8 +374,8 @@ def _count_rle_values(buf: bytes) -> int:
             wc = (header >> 1) & 0x1F
             ln = (((header & 1) << 8) | int(raw[pos + 1])) + 1
             p = pos + 2
-            _, p = varint_decode(raw, 1, p)
-            _, p = varint_decode(raw, 1, p)
+            _, p = varint_decode_scalar(raw, p)
+            _, p = varint_decode_scalar(raw, p)
             if wc:
                 w = decode_width(wc)
                 p += ((ln - 2) * w + 7) // 8

@@ -87,8 +87,18 @@ def _blob_batch(stripe_id: int, part_id: int, blobs: dict[str, bytes], stats: li
     )
 
 
-def encode_table(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS) -> DataFrame:
-    """DataFrame -> blob table (one row per stripe × column)."""
+def encode_table(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS, job_token: int | None = None) -> DataFrame:
+    """DataFrame -> blob table (one row per stripe × column).
+
+    ``job_token`` (16 bit) disambiguates stripe_ids across independent
+    encode invocations whose outputs may later be unioned (e.g. the
+    chunked resumable job): stripe_id = token<<40 | partition<<24 | seq.
+    """
+    import uuid as _uuid
+
+    if job_token is None:
+        job_token = _uuid.uuid4().int & 0xFFFF
+    job_token &= 0xFFFF
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
@@ -104,7 +114,7 @@ def encode_table(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS) -> DataF
                 return
             stripe = pa.Table.from_batches(buf).combine_chunks().to_batches()[0] if len(buf) > 1 else buf[0]
             blobs, stats = encode_stripe(stripe)
-            stripe_id = (part_id << 24) | seq
+            stripe_id = (job_token << 40) | (part_id << 24) | seq
             seq += 1
             buf, buffered = [], 0
             yield _blob_batch(stripe_id, part_id, blobs, stats)
