@@ -59,12 +59,17 @@ def bit_widths(vals: np.ndarray) -> np.ndarray:
 
     Branchless binary search: elementwise shift by a computed per-value
     amount (no boolean fancy indexing — ~5x faster at 1M values).
+    uint32 input runs a 32-bit pipeline (half the memory traffic).
     """
-    u = vals.astype(np.uint64, copy=False)
-    w = np.zeros(len(u), dtype=np.uint64)
-    x = u.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        m = (x >= (np.uint64(1) << np.uint64(shift))).astype(np.uint64) * np.uint64(shift)
+    if vals.dtype == np.uint32:
+        dt, shifts = np.uint32, (16, 8, 4, 2, 1)
+        x = vals.copy()
+    else:
+        dt, shifts = np.uint64, (32, 16, 8, 4, 2, 1)
+        x = vals.astype(np.uint64, copy=True)
+    w = np.zeros(len(x), dtype=dt)
+    for shift in shifts:
+        m = (x >= (dt(1) << dt(shift))).astype(dt) * dt(shift)
         w += m
         x >>= m
     return np.maximum(w.astype(np.int64) + 1, 1)
@@ -83,10 +88,15 @@ def bit_pack(vals: np.ndarray, width: int) -> bytes:
     n = len(vals)
     if n == 0:
         return b""
-    u = np.ascontiguousarray(vals, dtype=np.uint64)
+    if vals.dtype == np.uint32 and width <= 32:
+        u = np.ascontiguousarray(vals)
+        isz = 4
+    else:
+        u = np.ascontiguousarray(vals, dtype=np.uint64)
+        isz = 8
     wb = (width + 7) // 8  # only touch the low ceil(w/8) bytes per value
     # little-endian byte view reversed = big-endian low bytes, no byteswap pass
-    be = np.ascontiguousarray(u.view(np.uint8).reshape(n, 8)[:, wb - 1 :: -1])
+    be = np.ascontiguousarray(u.view(np.uint8).reshape(n, isz)[:, wb - 1 :: -1])
     if width % 8 == 0:  # byte-aligned width: the bytes ARE the packing
         return be.tobytes()
     bits = np.unpackbits(be.reshape(-1)).reshape(n, wb * 8)

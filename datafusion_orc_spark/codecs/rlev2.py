@@ -106,8 +106,9 @@ def _try_encode_patched_base(out: bytearray, vals: np.ndarray, signed: bool) -> 
     mn = int(vals.min())
     if mn == -(1 << 63):  # |base| unrepresentable with sign-bit layout
         return False
+    u_dt = np.uint32 if vals.dtype == np.int32 else np.uint64
     with np.errstate(over="ignore"):
-        reduced = (vals.astype(np.int64) - np.int64(mn)).view(np.uint64)
+        reduced = (vals - vals.dtype.type(mn)).view(u_dt)
     widths = bit_widths(reduced)
     wmax = closest_fixed_width(int(widths.max()))
     # p90 width = smallest w covering >=90% of values (bincount, no interpolation)
@@ -191,7 +192,7 @@ def _encode_literal_segment(out: bytearray, v: np.ndarray, signed: bool) -> None
     cmin = np.minimum.reduceat(v, starts)
     cmax = np.maximum.reduceat(v, starts)
     with np.errstate(over="ignore"):
-        span = cmax - cmin
+        span = cmax.astype(np.int64) - cmin.astype(np.int64)
     range_ok = span >= 0
     range_ok &= span < (1 << 62)
 
@@ -222,8 +223,9 @@ def _encode_literal_segment(out: bytearray, v: np.ndarray, signed: bool) -> None
         stride = 4
         sample_pos = np.arange(0, L, stride)
         schunk = sample_pos // _MAX_RUN
+        u_dt = np.uint32 if v.dtype == np.int32 else np.uint64
         with np.errstate(over="ignore"):
-            reduced_s = (v[sample_pos] - cmin[schunk]).view(np.uint64)
+            reduced_s = (v[sample_pos] - cmin[schunk]).view(u_dt)
         rw = bit_widths(reduced_s)
         hist = np.bincount(schunk * 65 + rw, minlength=k * 65).reshape(k, 65)
         cum = np.cumsum(hist, axis=1)
@@ -275,8 +277,18 @@ def _encode_literal_segment(out: bytearray, v: np.ndarray, signed: bool) -> None
 
 
 def rle_v2_encode(vals: np.ndarray, signed: bool = True) -> bytes:
-    """Encode an int array as a concatenation of RLEv2 runs."""
-    v = np.ascontiguousarray(vals, dtype=np.int64)
+    """Encode an int array as a concatenation of RLEv2 runs.
+
+    int32 input runs the whole pipeline in 32-bit (half the memory
+    traffic — tokens are array<int32>); it promotes to int64 only when
+    the value span could overflow 32-bit delta arithmetic.
+    """
+    if vals.dtype == np.int32 and len(vals):
+        v = np.ascontiguousarray(vals)
+        if int(v.max()) - int(v.min()) >= (1 << 31):
+            v = v.astype(np.int64)  # diffs would wrap in int32
+    else:
+        v = np.ascontiguousarray(vals, dtype=np.int64)
     n = len(v)
     if n == 0:
         return b""

@@ -32,15 +32,18 @@ def int_stats(vals: np.ndarray) -> dict:
         return {"n": 0, "min": 0, "max": 0, "runs": 0, "monotonic": True, "w_direct": 1, "w_for": 1}
     mn, mx = int(vals.min()), int(vals.max())
     sample = vals[: min(n, _SAMPLE)]
-    d = np.diff(sample)
+    d = np.diff(sample.astype(np.int64, copy=False))
     runs = int((d != 0).sum()) + 1
     monotonic = bool(np.all(d >= 0) or np.all(d <= 0))
-    w_direct = closest_fixed_width(int(bit_widths(zigzag_encode(vals)).max()))
+    # zigzag is maximal at max |value|, so the DIRECT width comes from
+    # the min/max scalars — no full-array pass
+    zz = max((mn << 1) ^ (mn >> 63) if mn < 0 else mn << 1, mx << 1 if mx >= 0 else ((mx << 1) ^ (mx >> 63)))
+    w_direct = closest_fixed_width(max(1, int(zz).bit_length()))
     span = mx - mn
     w_for = closest_fixed_width(max(1, span.bit_length())) if span >= 0 else 64
     # outlier detection: p90 width of min-subtracted sample vs full range
     with np.errstate(over="ignore"):
-        reduced = (sample - np.int64(mn)).view(np.uint64)
+        reduced = (sample.astype(np.int64, copy=False) - np.int64(mn)).view(np.uint64)
     w90 = closest_fixed_width(int(np.percentile(bit_widths(reduced), 90)))
     return {
         "n": n, "min": mn, "max": mx, "runs": runs, "monotonic": monotonic,

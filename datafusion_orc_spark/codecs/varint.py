@@ -11,7 +11,14 @@ import numpy as np
 
 
 def zigzag_encode(vals: np.ndarray) -> np.ndarray:
-    """Signed -> unsigned: (n << 1) ^ (n >> 63)."""
+    """Signed -> unsigned: (n << 1) ^ (n >> bits-1).
+
+    dtype-preserving: int32 input stays in 32-bit registers/bandwidth
+    (uint32 out), anything else promotes to int64 -> uint64.
+    """
+    if vals.dtype == np.int32:
+        v = vals
+        return ((v << 1) ^ (v >> 31)).view(np.uint32)
     v = vals.astype(np.int64, copy=False)
     return ((v << 1) ^ (v >> 63)).view(np.uint64)
 

@@ -124,8 +124,9 @@ def _validity_buffer(valid: np.ndarray) -> pa.Buffer | None:
 
 def _encode_for_bp(vals: np.ndarray) -> bytes:
     mn = int(vals.min()) if len(vals) else 0
+    u_dt = np.uint32 if vals.dtype == np.int32 else np.uint64
     with np.errstate(over="ignore"):
-        reduced = (vals - np.int64(mn)).view(np.uint64)
+        reduced = (vals - vals.dtype.type(mn)).view(u_dt)
     width = closest_fixed_width(max(1, (int(vals.max()) - mn).bit_length())) if len(vals) else 1
     meta = varint_encode_signed(np.array([mn], dtype=np.int64)) + bytes([width])
     return meta, bit_pack(reduced, width)
@@ -178,11 +179,13 @@ def encode_column(arr: pa.Array | pa.ChunkedArray) -> tuple[bytes, dict]:
     # integer-like (ints, date, timestamp)
     if typ in _INT_TYPES or pa.types.is_date32(typ) or pa.types.is_timestamp(typ):
         if pa.types.is_date32(typ):
-            vals = dense.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = dense.cast(pa.int32()).to_numpy(zero_copy_only=False)
         elif pa.types.is_timestamp(typ):
             vals = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
         else:
-            vals = dense.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = dense.to_numpy(zero_copy_only=False)
+            if vals.dtype not in (np.int32, np.int64):
+                vals = vals.astype(np.int32 if vals.dtype.itemsize <= 4 else np.int64)
         if len(vals):
             stats["min"], stats["max"] = int(vals.min()), int(vals.max())
         codec, streams = _int_data_streams(vals)
@@ -227,7 +230,11 @@ def encode_column(arr: pa.Array | pa.ChunkedArray) -> tuple[bytes, dict]:
         lengths = pc.list_value_length(dense).to_numpy(zero_copy_only=False).astype(np.int64)
         flat = pc.list_flatten(dense)
         if flat.null_count == 0 and (child in _INT_TYPES):
-            vals = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+            # int32 stays 32-bit end-to-end (half the memory traffic for
+            # token arrays); smaller ints widen to int32
+            vals = flat.to_numpy(zero_copy_only=False)
+            if vals.dtype not in (np.int32, np.int64):
+                vals = vals.astype(np.int32 if vals.dtype.itemsize <= 4 else np.int64)
             if len(vals):
                 stats["min"], stats["max"] = int(vals.min()), int(vals.max())
             codec, streams = _int_data_streams(vals, codec_prefix="arr_")
