@@ -174,15 +174,15 @@ class _StripeReader:
             return pa.array(py, type=typ)
         if k == proto.TIMESTAMP or k == proto.TIMESTAMP_INSTANT:
             secs = rle_v2_decode(self.stream(col, proto.S_DATA), n_vals, signed=True)
-            nanos_enc = rle_v2_decode(self.stream(col, proto.S_SECONDARY), n_vals, signed=False).view(np.uint64)
-            zeros = (nanos_enc & np.uint64(7)).astype(np.int64)
-            nanos = (nanos_enc >> np.uint64(3)).astype(np.int64)
-            mult = np.power(10, np.where(zeros > 0, zeros + 1, 0))
-            nanos = nanos * mult
+            nanos_enc = rle_v2_decode(self.stream(col, proto.S_SECONDARY), n_vals, signed=False)
+            # low 3 bits = removed trailing zeros (0 => none, z => 10^(z+1));
+            # the payload is SIGNED via two's complement (the ORC C++ writer
+            # emits negative sub-second parts for pre-1970 instants), so use
+            # an arithmetic shift — verified against pyarrow-written streams.
+            zeros = (nanos_enc.view(np.uint64) & np.uint64(7)).astype(np.int64)
+            nanos = (nanos_enc >> 3) * np.power(10, np.where(zeros > 0, zeros + 1, 0))
             epoch_2015 = 1420070400  # 2015-01-01T00:00:00Z
-            total = (secs + epoch_2015) * 1_000_000_000 + np.where(secs < 0, -nanos, nanos)
-            neg_adjust = (secs < 0) & (nanos > 0)
-            total = (secs + epoch_2015) * 1_000_000_000 + nanos - neg_adjust * 1_000_000_000
+            total = (secs + epoch_2015) * 1_000_000_000 + nanos
             return self._primitive(pa.timestamp("ns", tz="UTC" if k == proto.TIMESTAMP_INSTANT else None), total, valid, n)
         if k == proto.LIST:
             lengths = rle_v2_decode(self.stream(col, proto.S_LENGTH), n_vals, signed=False)

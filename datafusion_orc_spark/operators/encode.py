@@ -47,6 +47,8 @@ BLOB_SCHEMA = StructType(
         StructField("raw_bytes", LongType(), False),
         StructField("enc_bytes", LongType(), False),
         StructField("crc32", LongType(), False),
+        StructField("vmin", LongType(), True),  # int-like columns: stripe min
+        StructField("vmax", LongType(), True),  # stripe max (D19/ROW_INDEX analogue)
         StructField("data", BinaryType(), False),
     ]
 )
@@ -62,6 +64,8 @@ _BLOB_PA_SCHEMA = pa.schema(
         ("raw_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
         ("crc32", pa.int64()),
+        ("vmin", pa.int64()),
+        ("vmax", pa.int64()),
         ("data", pa.binary()),
     ]
 )
@@ -81,6 +85,8 @@ def _blob_batch(stripe_id: int, part_id: int, blobs: dict[str, bytes], stats: li
             "raw_bytes": [s["raw_bytes"] for s in stats],
             "enc_bytes": [s["enc_bytes"] for s in stats],
             "crc32": [s["crc32"] for s in stats],
+            "vmin": [s.get("min") for s in stats],
+            "vmax": [s.get("max") for s in stats],
             "data": [blobs[s["column"]] for s in stats],
         },
         schema=_BLOB_PA_SCHEMA,
@@ -108,16 +114,24 @@ def encode_table(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS, job_toke
         buf: list[pa.RecordBatch] = []
         buffered = 0
 
-        def flush() -> Iterator[pa.RecordBatch]:
+        def flush(final: bool) -> Iterator[pa.RecordBatch]:
             nonlocal seq, buf, buffered
             if not buf:
                 return
-            stripe = pa.Table.from_batches(buf).combine_chunks().to_batches()[0] if len(buf) > 1 else buf[0]
-            blobs, stats = encode_stripe(stripe)
-            stripe_id = (job_token << 40) | (part_id << 24) | seq
-            seq += 1
-            buf, buffered = [], 0
-            yield _blob_batch(stripe_id, part_id, blobs, stats)
+            table = pa.Table.from_batches(buf).combine_chunks()
+            pos = 0
+            # emit full stripes; keep a partial tail buffered unless final
+            while table.num_rows - pos >= stripe_rows or (final and pos < table.num_rows):
+                take = min(stripe_rows, table.num_rows - pos)
+                stripe = table.slice(pos, take).to_batches()[0]
+                blobs, stats = encode_stripe(stripe)
+                stripe_id = (job_token << 40) | (part_id << 24) | seq
+                seq += 1
+                pos += take
+                yield _blob_batch(stripe_id, part_id, blobs, stats)
+            tail = table.slice(pos)
+            buf = [b for b in tail.to_batches() if b.num_rows] if tail.num_rows else []
+            buffered = tail.num_rows
 
         for batch in batches:
             if batch.num_rows == 0:
@@ -125,24 +139,48 @@ def encode_table(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS, job_toke
             buf.append(batch)
             buffered += batch.num_rows
             if buffered >= stripe_rows:
-                yield from flush()
-        yield from flush()
+                yield from flush(final=False)
+        yield from flush(final=True)
 
     return df.mapInArrow(encode_fn, BLOB_SCHEMA)
 
 
-def decode_table(blobs_df: DataFrame, schema: pa.Schema | None, spark_schema, columns: list[str] | None = None) -> DataFrame:
+def decode_table(
+    blobs_df: DataFrame,
+    schema: pa.Schema | None,
+    spark_schema,
+    columns: list[str] | None = None,
+    prune: dict[str, tuple[int, int]] | None = None,
+) -> DataFrame:
     """Blob table -> original rows (projection via ``columns``).
 
     ``spark_schema``: the Spark StructType of the original table (used
     as the applyInArrow output schema); ``schema``: matching Arrow
     schema (derived from spark_schema if None).
+
+    ``prune``: {column: (lo, hi)} — stripe pruning on the per-stripe
+    min/max stats (the engine-side analogue of ORC ROW_INDEX seek /
+    the reference's stubbed stats interface, SURVEY.md S7/D19): stripes
+    whose [vmin, vmax] cannot intersect [lo, hi] are never decoded.
+    Rows outside the range within surviving stripes still come back —
+    apply the residual filter on the decoded frame.
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
     if schema is None:
         schema = to_arrow_schema(spark_schema)
     names = columns if columns is not None else list(schema.names)
+    if prune:
+        keep = None
+        for col, (lo, hi) in prune.items():
+            cond = (
+                (F.col("column") == col)
+                & (F.col("vmax") >= F.lit(int(lo)))
+                & (F.col("vmin") <= F.lit(int(hi)))
+            )
+            ids = blobs_df.filter(cond).select("stripe_id")
+            keep = ids if keep is None else keep.join(ids, "stripe_id")
+        blobs_df = blobs_df.join(F.broadcast(keep.distinct()), "stripe_id")
     if columns is not None:
         blobs_df = blobs_df.filter(F.col("column").isin(columns))
         spark_schema = StructType([f for f in spark_schema.fields if f.name in columns])

@@ -99,6 +99,19 @@ def test_roundtrip_via_pyarrow_writer(tmp_path, compression):
     _assert_tables_equal(ours, pa.Table.from_batches(tbl.to_batches(), tbl.schema))
 
 
+def test_timestamp_roundtrip_via_pyarrow_writer(tmp_path):
+    """D16 — ORC timestamps: seconds-from-2015 + signed nanos with
+    trailing-zero packing (negative sub-second instants included)."""
+    vals = [1000, -1000, -1, 1, -1500000000, 1500000000, 0, -999999999,
+            1420070400 * 10**9 + 5, -2208988799999999877, 1234567890123456789]
+    tbl = pa.table({"t": pa.array(vals, type=pa.int64()).cast(pa.timestamp("ns"))})
+    path = str(tmp_path / "ts.orc")
+    pyarrow.orc.write_table(tbl, path)
+    ours = read_orc(path).column("t").combine_chunks()
+    oracle = pyarrow.orc.ORCFile(path).read().column("t").combine_chunks()
+    assert ours.cast(oracle.type).equals(oracle)
+
+
 def test_nested_roundtrip_via_pyarrow_writer(tmp_path):
     tbl = pa.table({
         "id": pa.array([1, 2, None, 4], type=pa.int64()),
