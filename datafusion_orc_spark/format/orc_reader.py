@@ -145,12 +145,15 @@ class _StripeReader:
                 offsets = np.zeros(dict_size + 1, dtype=np.int64)
                 np.cumsum(lengths, out=offsets[1:])
                 idx = rle_v2_decode(self.stream(col, proto.S_DATA), n_vals, signed=False)
-                starts, ends = offsets[idx], offsets[idx + 1]
-                lens = ends - starts
+                starts = offsets[idx]
+                lens = offsets[idx + 1] - starts
                 out_off = np.zeros(n_vals + 1, dtype=np.int64)
                 np.cumsum(lens, out=out_off[1:])
                 b = np.frombuffer(blob, dtype=np.uint8)
-                gather = np.concatenate([b[s:e] for s, e in zip(starts, ends)]) if n_vals else np.empty(0, np.uint8)
+                total = int(out_off[-1])
+                # vectorized gather (same trick as codecs.strings.dict_decode)
+                flat_idx = np.repeat(starts - out_off[:-1], lens) + np.arange(total)
+                gather = b[flat_idx] if n_vals else np.empty(0, np.uint8)
                 return self._varlen(typ, out_off, gather.tobytes(), valid, n)
             blob = self.stream(col, proto.S_DATA)
             lengths = rle_v2_decode(self.stream(col, proto.S_LENGTH), n_vals, signed=False)

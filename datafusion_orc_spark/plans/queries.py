@@ -479,6 +479,97 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup verification: candidate pairs from the
+    first MinHash band, verified by Jaccard over distinct token sets.
+    The LSH-bucket join keeps the pair space tiny (no full cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    a, b = _MINHASH_PERMS[0]
+    toks = dl.tokens(SPARK)
+    sig = docs.select(
+        F.col("doc_id"),
+        F.expr(dl.minhash(SPARK, toks, a, b)).alias("bucket"),
+        F.expr(f"array_sort(array_distinct({toks}))").alias("tokset"),
+    )
+    pairs = (
+        sig.alias("x")
+        .join(sig.alias("y"), (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            (
+                F.size(F.array_intersect("x.tokset", "y.tokset"))
+                / (F.size("x.tokset") + F.size("y.tokset") - F.size(F.array_intersect("x.tokset", "y.tokset")))
+            ).alias("jac"),
+        )
+    )
+    return (
+        pairs.filter(F.col("jac") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _sql_dedup_ngram_jaccard() -> str:
+    a, b = _MINHASH_PERMS[0]
+    toks = dl.tokens(DUCK)
+    return f"""
+WITH sig AS (
+  SELECT doc_id, {dl.minhash(DUCK, toks, a, b)} AS bucket,
+         list_distinct({toks}) AS tokset
+  FROM documents),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(len(list_intersect(x.tokset, y.tokset)) AS DOUBLE)
+           / (len(x.tokset) + len(y.tokset) - len(list_intersect(x.tokset, y.tokset))) AS jac
+  FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM pairs
+WHERE jac >= 0.5 ORDER BY doc_a, doc_b
+"""
+
+
+SQL_DEDUP_NGRAM_JACCARD = _sql_dedup_ngram_jaccard()
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: vector pairs above a cosine threshold
+    (integer-quantized dot/norms for cross-engine determinism)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "q", F.expr(_QUANT_SPARK.format(col="embedding"))
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.q").alias("qa"),
+            F.col("b.q").alias("qb"),
+        )
+        .select("vec_a", "vec_b", F.round(F.expr(_COS_SPARK), 6).alias("cos"))
+    )
+    return pairs.filter(F.col("cos") >= 0.5).orderBy("vec_a", "vec_b")
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(
+           CAST(list_sum(list_transform(range(1, len(a.qe) + 1),
+                i -> a.qe[i] * b.qe[i])) AS DOUBLE) /
+           (sqrt(CAST(list_sum(list_transform(a.qe, x -> x * x)) AS DOUBLE)) *
+            sqrt(CAST(list_sum(list_transform(b.qe, x -> x * x)) AS DOUBLE))), 6) AS cos
+  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.5 ORDER BY vec_a, vec_b
+"""
+
+
 # --------------------------------------------------------------------------
 # 3c. similarity search
 # --------------------------------------------------------------------------
@@ -595,6 +686,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     # similarity
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_buckets": (q_ann_lsh_buckets, None),
