@@ -64,7 +64,10 @@ def _encode_short_repeat(out: bytearray, value: int, count: int, signed: bool) -
 
 
 def _encode_direct(out: bytearray, vals: np.ndarray, signed: bool) -> None:
-    u = zigzag_encode(vals) if signed else vals.astype(np.uint64, copy=False)
+    if signed:
+        u = zigzag_encode(vals)
+    else:
+        u = vals.view(np.uint32 if vals.dtype == np.int32 else np.uint64)
     w = closest_fixed_width(max(1, int(u.max()).bit_length()))
     n = len(vals)
     out.append((_DIRECT << 6) | (width_code(w) << 1) | ((n - 1) >> 8))
@@ -182,7 +185,10 @@ def _encode_literal_segment(out: bytearray, v: np.ndarray, signed: bool) -> None
     L = len(v)
     if L == 0:
         return
-    u = zigzag_encode(v) if signed else v.view(np.uint64)
+    if signed:
+        u = zigzag_encode(v)
+    else:
+        u = v.view(np.uint32 if v.dtype == np.int32 else np.uint64)
     starts = np.arange(0, L, _MAX_RUN)
     ends = np.minimum(starts + _MAX_RUN, L)
     sizes = ends - starts

@@ -28,12 +28,13 @@ def test_f2_codec_triggers():
     rng = np.random.default_rng(42)
     state = rng.integers(0, 2**63, n)
     cases = {
-        "c_const": (pa.array(np.full(n, 7, dtype=np.int32)), "int_rle2"),
-        "c_mono": (pa.array((1000 + 3 * np.arange(n)).astype(np.int32)), "int_rle2"),
-        "c_rand": (pa.array(state.astype(np.int64)), "int_rle2"),
+        "c_const": (pa.array(np.full(n, 7, dtype=np.int32)), "int_rle2u"),
+        "c_mono": (pa.array((1000 + 3 * np.arange(n)).astype(np.int32)), "int_rle2u"),
+        "c_rand": (pa.array(state.astype(np.int64)), "int_rle2u"),
+        "c_neg": (pa.array((state.astype(np.int64) - 2**62)), "int_rle2"),
         "c_small": (
             pa.array(np.where(np.arange(n) % 97 == 0, 10**9 + state % 1000, state % 100).astype(np.int64)),
-            "int_rle2",
+            "int_rle2u",
         ),
         "c_for": (pa.array((1_000_000 + state % 256).astype(np.int32)), "int_for_bp"),
         "s_lowcard": (pa.array([f"src_{i % 8}" for i in range(n)]), "str_dict"),
