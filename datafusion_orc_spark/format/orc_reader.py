@@ -8,9 +8,9 @@ kernels from ``datafusion_orc_spark.codecs``.
 
 Scope: the encodings present in the reference's own test corpus
 (/root/reference/tests/basic/data/*.orc — SNAPPY, DIRECT_V2,
-DICTIONARY_V2, nested list/map/struct, decimal, date) plus NONE/ZLIB
-compression. RLEv1 (DIRECT/DICTIONARY v1 encodings) and UNION are out of
-scope and raise.
+DICTIONARY_V2, nested list/map/struct, decimal, date) plus NONE/ZLIB/
+LZ4/ZSTD compression and the v1 DIRECT/DICTIONARY (RLEv1) encodings of
+ORC 0.11 writers. UNION is out of scope and raises.
 
 Used for conformance tests (decode the corpus bit-identically vs
 pyarrow.orc) and as the F5 stream-level oracle (our RLEv2 decoder applied
@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from datafusion_orc_spark.codecs.byterle import bool_rle_decode, byte_rle_decode
+from datafusion_orc_spark.codecs.rlev1 import rle_v1_decode
 from datafusion_orc_spark.codecs.rlev2 import rle_v2_decode
 from datafusion_orc_spark.codecs.varint import varint_decode, zigzag_decode
 from datafusion_orc_spark.format import orc_proto as proto
@@ -111,10 +112,9 @@ class _StripeReader:
             valid = bool_rle_decode(self.stream(col, proto.S_PRESENT), n)
         n_vals = int(valid.sum())
         enc = self.encodings[col].kind
-        if enc in (proto.E_DIRECT, proto.E_DICTIONARY) and t.kind in (
-            proto.SHORT, proto.INT, proto.LONG, proto.STRING, proto.DATE, proto.DECIMAL,
-        ):
-            raise NotImplementedError("RLEv1 (pre-HIVE-8732) encodings not supported")
+        # integer-stream decoder: v1 for DIRECT/DICTIONARY (ORC 0.11),
+        # v2 for *_V2 (HIVE-8732+) — both verified vs ORC-Java writers
+        int_dec = rle_v1_decode if enc in (proto.E_DIRECT, proto.E_DICTIONARY) else rle_v2_decode
 
         k = t.kind
         if k == proto.BOOLEAN:
@@ -124,7 +124,7 @@ class _StripeReader:
             vals = byte_rle_decode(self.stream(col, proto.S_DATA), n_vals).view(np.int8)
             return self._primitive(pa.int8(), vals, valid, n)
         if k in (proto.SHORT, proto.INT, proto.LONG):
-            vals = rle_v2_decode(self.stream(col, proto.S_DATA), n_vals, signed=True)
+            vals = int_dec(self.stream(col, proto.S_DATA), n_vals, signed=True)
             typ = {proto.SHORT: pa.int16(), proto.INT: pa.int32(), proto.LONG: pa.int64()}[k]
             return self._primitive(typ, vals.astype(typ.to_pandas_dtype()), valid, n)
         if k == proto.FLOAT:
@@ -134,17 +134,17 @@ class _StripeReader:
             vals = np.frombuffer(self.stream(col, proto.S_DATA), dtype="<f8", count=n_vals)
             return self._primitive(pa.float64(), vals, valid, n)
         if k == proto.DATE:
-            vals = rle_v2_decode(self.stream(col, proto.S_DATA), n_vals, signed=True)
+            vals = int_dec(self.stream(col, proto.S_DATA), n_vals, signed=True)
             return self._primitive(pa.date32(), vals.astype(np.int32), valid, n)
         if k in (proto.STRING, proto.VARCHAR, proto.CHAR, proto.BINARY):
             typ = pa.binary() if k == proto.BINARY else pa.string()
-            if enc == proto.E_DICTIONARY_V2:
+            if enc in (proto.E_DICTIONARY, proto.E_DICTIONARY_V2):
                 blob = self.stream(col, proto.S_DICTIONARY_DATA)
                 dict_size = self.encodings[col].dictionary_size
-                lengths = rle_v2_decode(self.stream(col, proto.S_LENGTH), dict_size, signed=False)
+                lengths = int_dec(self.stream(col, proto.S_LENGTH), dict_size, signed=False)
                 offsets = np.zeros(dict_size + 1, dtype=np.int64)
                 np.cumsum(lengths, out=offsets[1:])
-                idx = rle_v2_decode(self.stream(col, proto.S_DATA), n_vals, signed=False)
+                idx = int_dec(self.stream(col, proto.S_DATA), n_vals, signed=False)
                 starts = offsets[idx]
                 lens = offsets[idx + 1] - starts
                 out_off = np.zeros(n_vals + 1, dtype=np.int64)
@@ -156,7 +156,7 @@ class _StripeReader:
                 gather = b[flat_idx] if n_vals else np.empty(0, np.uint8)
                 return self._varlen(typ, out_off, gather.tobytes(), valid, n)
             blob = self.stream(col, proto.S_DATA)
-            lengths = rle_v2_decode(self.stream(col, proto.S_LENGTH), n_vals, signed=False)
+            lengths = int_dec(self.stream(col, proto.S_LENGTH), n_vals, signed=False)
             offsets = np.zeros(n_vals + 1, dtype=np.int64)
             np.cumsum(lengths, out=offsets[1:])
             return self._varlen(typ, offsets, blob, valid, n)
@@ -164,7 +164,7 @@ class _StripeReader:
             buf = self.stream(col, proto.S_DATA)
             u, _ = varint_decode(buf, n_vals)
             mantissa = zigzag_decode(u)
-            scales = rle_v2_decode(self.stream(col, proto.S_SECONDARY), n_vals, signed=True)
+            scales = int_dec(self.stream(col, proto.S_SECONDARY), n_vals, signed=True)
             typ = pa.decimal128(t.precision or 38, t.scale)
             py = []
             j = 0
@@ -176,8 +176,8 @@ class _StripeReader:
                     py.append(None)
             return pa.array(py, type=typ)
         if k == proto.TIMESTAMP or k == proto.TIMESTAMP_INSTANT:
-            secs = rle_v2_decode(self.stream(col, proto.S_DATA), n_vals, signed=True)
-            nanos_enc = rle_v2_decode(self.stream(col, proto.S_SECONDARY), n_vals, signed=False)
+            secs = int_dec(self.stream(col, proto.S_DATA), n_vals, signed=True)
+            nanos_enc = int_dec(self.stream(col, proto.S_SECONDARY), n_vals, signed=False)
             # low 3 bits = removed trailing zeros (0 => none, z => 10^(z+1));
             # the payload is SIGNED via two's complement (the ORC C++ writer
             # emits negative sub-second parts for pre-1970 instants), so use
@@ -188,7 +188,7 @@ class _StripeReader:
             total = (secs + epoch_2015) * 1_000_000_000 + nanos
             return self._primitive(pa.timestamp("ns", tz="UTC" if k == proto.TIMESTAMP_INSTANT else None), total, valid, n)
         if k == proto.LIST:
-            lengths = rle_v2_decode(self.stream(col, proto.S_LENGTH), n_vals, signed=False)
+            lengths = int_dec(self.stream(col, proto.S_LENGTH), n_vals, signed=False)
             full = np.zeros(n, dtype=np.int64)
             full[valid] = lengths
             offsets = np.zeros(n + 1, dtype=np.int32)
@@ -199,7 +199,7 @@ class _StripeReader:
                 typ, n, [_validity_buffer(valid), pa.py_buffer(offsets.astype(np.int32).tobytes())], children=[child]
             )
         if k == proto.MAP:
-            lengths = rle_v2_decode(self.stream(col, proto.S_LENGTH), n_vals, signed=False)
+            lengths = int_dec(self.stream(col, proto.S_LENGTH), n_vals, signed=False)
             full = np.zeros(n, dtype=np.int64)
             full[valid] = lengths
             offsets = np.zeros(n + 1, dtype=np.int32)

@@ -18,21 +18,6 @@ TABLES = [
 
 
 @pytest.fixture(scope="session")
-def spark():
-    from pyspark.sql import SparkSession
-
-    s = (
-        SparkSession.builder.master("local[4]")
-        .appName("oracle-parity")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    yield s
-    s.stop()
-
-
-@pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
     for t in TABLES:

@@ -18,21 +18,6 @@ from datafusion_orc_spark.sources.tokens import tokenized_sequences
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="session")
-def spark():
-    from pyspark.sql import SparkSession
-
-    s = (
-        SparkSession.builder.master("local[4]")
-        .appName("pipeline-tests")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    yield s
-    s.stop()
-
-
 def test_salted_repartition_balances_skew(spark):
     # source is ~50% one key; partitioning by doc_id hash must balance
     seqs = tokenized_sequences(spark, SF_DIR)

@@ -11,19 +11,32 @@ from datafusion_orc_spark.sources.tokens import synthetic_sequences, tokenized_s
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="session")
-def spark():
-    s = (
-        SparkSession.builder.master("local[4]")
-        .appName("datafusion-orc-spark-tests")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
-        .getOrCreate()
+def test_orc_v11_rlev1_conformance(spark, tmp_path):
+    """Decode an ORC 0.11 file (RLEv1 DIRECT/DICTIONARY encodings,
+    written by Spark's ORC-Java writer) bit-identically vs pyarrow."""
+    import glob
+
+    import pyarrow.orc
+
+    from datafusion_orc_spark.format.orc_reader import read_orc
+
+    out = str(tmp_path / "orc_v11")
+    df = spark.range(2000).selectExpr(
+        "id", "cast(id % 7 as int) small", "concat('s', id % 5) s",
+        "cast(id as double) d", "if(id % 9 = 0, null, id * 3) nullable",
     )
-    yield s
-    s.stop()
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("orc.write.format", "0.11")
+        .option("compression", "none")
+        .orc(out)
+    )
+    path = glob.glob(f"{out}/*.orc")[0]
+    ours = read_orc(path)
+    oracle = pyarrow.orc.ORCFile(path).read()
+    for name in oracle.schema.names:
+        assert ours.column(name).combine_chunks().equals(oracle.column(name).combine_chunks()), name
 
 
 def test_tokenized_sequences_shape(spark):

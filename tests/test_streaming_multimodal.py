@@ -9,21 +9,6 @@ from pyspark.sql import functions as F
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="session")
-def spark():
-    from pyspark.sql import SparkSession
-
-    s = (
-        SparkSession.builder.master("local[4]")
-        .appName("streaming-tests")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    yield s
-    s.stop()
-
-
 def test_incremental_encode_stream(spark, tmp_path):
     from datafusion_orc_spark.operators.encode import decode_table
     from datafusion_orc_spark.sources.tokens import tokenized_sequences

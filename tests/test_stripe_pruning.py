@@ -8,21 +8,6 @@ from datafusion_orc_spark.operators.encode import decode_table, encode_table
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="session")
-def spark():
-    from pyspark.sql import SparkSession
-
-    s = (
-        SparkSession.builder.master("local[4]")
-        .appName("pruning-tests")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    yield s
-    s.stop()
-
-
 def test_stripe_pruning_skips_blobs(spark):
     # sort by orderkey so stripes carry disjoint key ranges
     li = (
