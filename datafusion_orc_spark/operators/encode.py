@@ -73,6 +73,34 @@ _BLOB_PA_SCHEMA = pa.schema(
 DEFAULT_STRIPE_ROWS = 32768
 
 
+def _ensure_workers_can_import(df: DataFrame) -> None:
+    """Ship the package to executors (addPyFile) once per SparkContext.
+
+    The mapInArrow/applyInArrow UDFs are pickled by reference to this
+    module, so python workers must be able to import
+    ``datafusion_orc_spark`` even when the driver's cwd/PYTHONPATH does
+    not include the repo root (e.g. an external verify harness).
+    """
+    sc = df.sparkSession.sparkContext
+    if getattr(sc, "_dos_pyfile_added", False):
+        return
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join("/tmp", f"datafusion_orc_spark_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._dos_pyfile_added = True
+
+
 def _blob_batch(stripe_id: int, part_id: int, blobs: dict[str, bytes], stats: list[dict]) -> pa.RecordBatch:
     return pa.RecordBatch.from_pydict(
         {
@@ -102,6 +130,7 @@ def encode_table(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS, job_toke
     """
     import uuid as _uuid
 
+    _ensure_workers_can_import(df)
     if job_token is None:
         job_token = _uuid.uuid4().int & 0xFFFF
     job_token &= 0xFFFF
@@ -167,6 +196,7 @@ def decode_table(
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    _ensure_workers_can_import(blobs_df)
     if schema is None:
         schema = to_arrow_schema(spark_schema)
     names = columns if columns is not None else list(schema.names)
