@@ -84,6 +84,26 @@ def varint_decode(buf: np.ndarray | bytes, n: int, pos: int = 0) -> tuple[np.nda
     return out, pos + int(ends[n - 1]) + 1
 
 
+def varint_decode_big(buf, n: int, pos: int = 0) -> tuple[list[int], int]:
+    """Decode ``n`` varints of UNBOUNDED size (python ints) — used for
+    decimal mantissas above 64 bits (precision > 18). Zigzag applied by
+    the caller."""
+    raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    out: list[int] = []
+    for _ in range(n):
+        result = 0
+        shift = 0
+        while True:
+            b = int(raw[pos])
+            pos += 1
+            result |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        out.append(result)
+    return out, pos
+
+
 def varint_decode_scalar(raw, pos: int) -> tuple[int, int]:
     """Decode ONE varint at ``pos`` — reads only its own bytes (the
     vectorized decoder scans the whole remaining window to find

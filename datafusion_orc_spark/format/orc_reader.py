@@ -19,6 +19,7 @@ to ORC-C++-written streams).
 
 from __future__ import annotations
 
+import decimal
 import zlib
 from decimal import Decimal
 
@@ -28,7 +29,11 @@ import pyarrow as pa
 from datafusion_orc_spark.codecs.byterle import bool_rle_decode, byte_rle_decode
 from datafusion_orc_spark.codecs.rlev1 import rle_v1_decode
 from datafusion_orc_spark.codecs.rlev2 import rle_v2_decode
-from datafusion_orc_spark.codecs.varint import varint_decode, zigzag_decode
+from datafusion_orc_spark.codecs.varint import (
+    varint_decode,
+    varint_decode_big,
+    zigzag_decode,
+)
 from datafusion_orc_spark.format import orc_proto as proto
 
 
@@ -162,15 +167,21 @@ class _StripeReader:
             return self._varlen(typ, offsets, blob, valid, n)
         if k == proto.DECIMAL:
             buf = self.stream(col, proto.S_DATA)
-            u, _ = varint_decode(buf, n_vals)
-            mantissa = zigzag_decode(u)
+            if (t.precision or 38) > 18:
+                # unbounded varint mantissas (python ints) for >64-bit
+                big, _ = varint_decode_big(buf, n_vals)
+                mantissa = [(m >> 1) ^ -(m & 1) for m in big]
+            else:
+                u, _ = varint_decode(buf, n_vals)
+                mantissa = zigzag_decode(u)
             scales = int_dec(self.stream(col, proto.S_SECONDARY), n_vals, signed=True)
             typ = pa.decimal128(t.precision or 38, t.scale)
+            ctx = decimal.Context(prec=42)  # default prec=28 would round 38-digit mantissas
             py = []
             j = 0
             for i in range(n):
                 if valid[i]:
-                    py.append(Decimal(int(mantissa[j])).scaleb(-int(scales[j])))
+                    py.append(Decimal(int(mantissa[j])).scaleb(-int(scales[j]), context=ctx))
                     j += 1
                 else:
                     py.append(None)

@@ -112,6 +112,32 @@ def test_timestamp_roundtrip_via_pyarrow_writer(tmp_path):
     assert ours.cast(oracle.type).equals(oracle)
 
 
+def test_decimal128_big_precision(tmp_path):
+    """D13 — decimal mantissas above 64 bits (precision > 18)."""
+    from decimal import Decimal
+
+    vals = [
+        Decimal("12345678901234567890123456.7890123456"),
+        Decimal("-9999999999999999999999999999.9999999999"),
+        Decimal("0.0000000001"),
+        None,
+        Decimal("-1.5"),
+    ]
+    tbl = pa.table({
+        "big": pa.array(vals, type=pa.decimal128(38, 10)),
+        "small": pa.array(
+            [Decimal("1.23"), Decimal("-4.56"), None, Decimal("0"), Decimal("99999999999999.99")],
+            type=pa.decimal128(16, 2),
+        ),
+    })
+    path = str(tmp_path / "dec.orc")
+    pyarrow.orc.write_table(tbl, path)
+    ours = read_orc(path)
+    oracle = pyarrow.orc.ORCFile(path).read()
+    for name in tbl.schema.names:
+        assert ours.column(name).combine_chunks().equals(oracle.column(name).combine_chunks()), name
+
+
 def test_nested_roundtrip_via_pyarrow_writer(tmp_path):
     tbl = pa.table({
         "id": pa.array([1, 2, None, 4], type=pa.int64()),
