@@ -159,15 +159,14 @@ def main() -> None:
     if DO_SCALING:
         spark.stop()
         scaling = {}
-        for cpus in (2, 8, 32):
+        for cpus in (8, 32):
             s = build_session(cpus)
             s.sparkContext.setLogLevel("ERROR")
             run_encode(s, tokens_path, cpus)  # warmup
             best = min(run_encode(s, tokens_path, cpus)["wall"] for _ in range(3))
             scaling[f"n{cpus}"] = round(total_tokens / best)
             s.stop()
-        scaling["efficiency_2_8"] = round((scaling["n8"] / scaling["n2"]) / 4.0, 3)
-        scaling["efficiency_8_32"] = round((scaling["n32"] / scaling["n8"]) / 4.0, 3)
+        scaling["efficiency"] = round((scaling["n32"] / scaling["n8"]) / 4.0, 3)
         extras["scaling"] = scaling
     else:
         spark.stop()
