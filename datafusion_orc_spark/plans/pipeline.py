@@ -82,6 +82,7 @@ def encode_job(
     if manifest["snapshot_id"] is None:
         manifest["snapshot_id"] = input_snapshot_id or uuid.uuid4().hex
         manifest["n_chunks"] = n_chunks
+        manifest["schema_json"] = df.schema.json()  # for the stripeblob DataSource
         _write_manifest_atomic(output_dir, manifest)
     assert manifest.get("n_chunks", n_chunks) == n_chunks, "n_chunks changed across resume"
 

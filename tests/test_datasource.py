@@ -1,0 +1,55 @@
+"""The stripeblob Spark DataSource: spark.read.format("stripeblob")."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_orc_spark.plans.pipeline import encode_job
+from datafusion_orc_spark.sources.stripeblob_datasource import register
+from datafusion_orc_spark.sources.tokens import tokenized_sequences
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def encoded_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc") / "blobs")
+    seqs = tokenized_sequences(spark, SF_DIR)
+    encode_job(spark, seqs, out, n_chunks=2, partitions_per_chunk=2, stripe_rows=100)
+    register(spark)
+    return out
+
+
+def test_datasource_read_back(spark, encoded_dir):
+    seqs = tokenized_sequences(spark, SF_DIR)
+    df = spark.read.format("stripeblob").load(encoded_dir)
+    assert set(df.columns) == set(seqs.columns)
+    assert df.count() == seqs.count()
+    a = df.agg(F.sum("n_tok"), F.countDistinct("doc_id")).collect()[0]
+    b = seqs.agg(F.sum("n_tok"), F.countDistinct("doc_id")).collect()[0]
+    assert list(a) == list(b)
+
+
+def test_datasource_sql_surface(spark, encoded_dir):
+    spark.read.format("stripeblob").load(encoded_dir).createOrReplaceTempView("seq_blobs")
+    out = spark.sql(
+        "SELECT source, count(*) AS docs, sum(n_tok) AS toks "
+        "FROM seq_blobs GROUP BY source ORDER BY source"
+    ).collect()
+    seqs = tokenized_sequences(spark, SF_DIR)
+    exp = (
+        seqs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_tok").alias("toks"))
+        .orderBy("source")
+        .collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in exp]
+
+
+def test_datasource_filter_pushdown_prunes(spark, encoded_dir):
+    # n_tok filter: exact results regardless of pruning
+    df = spark.read.format("stripeblob").load(encoded_dir).filter(F.col("n_tok") > 1000)
+    seqs = tokenized_sequences(spark, SF_DIR).filter(F.col("n_tok") > 1000)
+    assert df.count() == seqs.count()
+    assert (
+        df.agg(F.sum("n_tok")).collect()[0][0] == seqs.agg(F.sum("n_tok")).collect()[0][0]
+    )
