@@ -235,6 +235,42 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_roundtrip_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full storage-layer round-trip through the `stripeblob` DataSource:
+    tokenize -> resumable encode_job to disk -> spark.read.format(
+    "stripeblob") -> aggregate. Oracle recomputes from raw text."""
+    import hashlib
+    import tempfile
+
+    from datafusion_orc_spark.plans.pipeline import encode_job
+    from datafusion_orc_spark.sources.stripeblob_datasource import register
+    from datafusion_orc_spark.sources.tokens import tokenized_sequences
+
+    seqs = tokenized_sequences(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"{tempfile.gettempdir()}/dos_stripeblob_{tag}"
+    encode_job(spark, seqs, out, n_chunks=2, partitions_per_chunk=4, stripe_rows=2048)
+    register(spark)
+    dec = spark.read.format("stripeblob").load(out)
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_ROUNDTRIP_DATASOURCE_AGG = f"""
+SELECT source, COUNT(*) AS docs,
+       SUM(len({dl.tokens(DUCK)})) AS total_tokens,
+       MIN(concat('doc-', lpad(CAST(doc_id AS VARCHAR), 12, '0'))) AS first_doc
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine introspection: which codec won per column, sizes, ratio.
     Non-SQL-expressible (engine-internal) -> rows-only driver check."""
@@ -676,6 +712,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # encode engine
     "roundtrip_lineitem_agg": (q_roundtrip_lineitem_agg, SQL_ROUNDTRIP_LINEITEM_AGG),
     "roundtrip_tokens_agg": (q_roundtrip_tokens_agg, SQL_ROUNDTRIP_TOKENS_AGG),
+    "roundtrip_datasource_agg": (q_roundtrip_datasource_agg, SQL_ROUNDTRIP_DATASOURCE_AGG),
     "codec_stats": (q_codec_stats, None),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
