@@ -63,11 +63,18 @@ CODECS = {
     # less vector pass
     "int_rle2u": 12,
     "arr_int_rle2u": 13,
+    # PFOR with unlimited exceptions (codecs/pfor.py) — beats ORC's
+    # PATCHED_BASE on Zipf-skewed token distributions (>31 outliers/512)
+    "int_pfor": 14,
+    "arr_int_pfor": 15,
 }
 CODEC_NAMES = {v: k for k, v in CODECS.items()}
 
 # stream kinds (mirror ORC where applicable)
-K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_DICT_LENGTH, K_FSST_TABLE, K_META = range(7)
+(
+    K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_DICT_LENGTH,
+    K_FSST_TABLE, K_META, K_EXC_POS, K_EXC_HIGH,
+) = range(9)
 
 
 def _assemble(codec: str, n_rows: int, n_nulls: int, streams: list[tuple[int, bytes]]) -> bytes:
@@ -148,14 +155,36 @@ def _int_data_streams(vals: np.ndarray, codec_prefix: str = "") -> tuple[str, li
     if codec == "int_for_bp":
         meta, data = _encode_for_bp(vals)
         return codec_prefix + "int_for_bp", [(K_META, meta), (K_DATA, data)]
-    if stats["n"] and stats["min"] >= 0:
-        return codec_prefix + "int_rle2u", [(K_DATA, rle_v2_encode(vals, signed=False))]
-    return codec_prefix + "int_rle2", [(K_DATA, rle_v2_encode(vals))]
+    unsigned = bool(stats["n"]) and stats["min"] >= 0
+    rle_bytes = rle_v2_encode(vals, signed=not unsigned)
+    # tail-heavy distributions (Zipf tokens): PFOR's unlimited exception
+    # list can beat RLEv2 (whose PATCHED_BASE caps at 31 patches/512)
+    if stats["n"] and not stats["monotonic"] and stats["w90_for"] + 1 < stats["w_for"]:
+        from datafusion_orc_spark.codecs.pfor import pfor_encode
+
+        p = pfor_encode(vals)
+        if p is not None:
+            meta, data, exc_pos, exc_high = p
+            total = len(meta) + len(data) + len(exc_pos) + len(exc_high)
+            if total < 0.95 * len(rle_bytes):
+                return codec_prefix + "int_pfor", [
+                    (K_META, meta), (K_DATA, data),
+                    (K_EXC_POS, exc_pos), (K_EXC_HIGH, exc_high),
+                ]
+    if unsigned:
+        return codec_prefix + "int_rle2u", [(K_DATA, rle_bytes)]
+    return codec_prefix + "int_rle2", [(K_DATA, rle_bytes)]
 
 
 def _int_data_decode(codec: str, streams: dict[int, bytes], n: int) -> np.ndarray:
     if codec.endswith("int_for_bp"):
         return _decode_for_bp(streams[K_META], streams[K_DATA], n)
+    if codec.endswith("int_pfor"):
+        from datafusion_orc_spark.codecs.pfor import pfor_decode
+
+        return pfor_decode(
+            streams[K_META], streams[K_DATA], streams[K_EXC_POS], streams[K_EXC_HIGH], n
+        )
     return rle_v2_decode(streams[K_DATA], n, signed=not codec.endswith("int_rle2u"))
 
 
@@ -288,7 +317,7 @@ def decode_column(blob: bytes, typ: pa.DataType) -> pa.Array:
             buf = pa.py_buffer(np.ascontiguousarray(full).tobytes())
         return pa.Array.from_buffers(out_typ, n, [_validity_buffer(valid), buf])
 
-    if codec in ("int_rle2", "int_rle2u", "int_for_bp"):
+    if codec in ("int_rle2", "int_rle2u", "int_for_bp", "int_pfor"):
         vals = _int_data_decode(codec, streams, n_dense)
         if pa.types.is_date32(typ):
             return expand_primitive(vals.astype(np.int32), pa.int32()).cast(typ)
@@ -329,7 +358,7 @@ def decode_column(blob: bytes, typ: pa.DataType) -> pa.Array:
         )
         return arr.cast(typ) if arr.type != typ else arr
 
-    if codec in ("arr_int_rle2", "arr_int_rle2u", "arr_int_for_bp", "arr_float_raw"):
+    if codec in ("arr_int_rle2", "arr_int_rle2u", "arr_int_pfor", "arr_int_for_bp", "arr_float_raw"):
         lengths = rle_v2_decode(streams[K_LENGTH], n_dense, signed=False)
         n_items = int(lengths.sum())
         child_typ = typ.value_type
