@@ -19,7 +19,6 @@ import numpy as np
 import pyarrow as pa
 
 from datafusion_orc_spark.codecs.bitpack import bit_widths, closest_fixed_width
-from datafusion_orc_spark.codecs.varint import zigzag_encode
 
 DICT_KEY_RATIO = 0.8  # ORC Java hive.exec.orc.dictionary.key.size.threshold
 _SAMPLE = 4096

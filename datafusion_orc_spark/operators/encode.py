@@ -18,7 +18,6 @@ reference's projection pushdown (file_source.rs:95-102).
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import pyarrow as pa
