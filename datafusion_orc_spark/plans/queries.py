@@ -235,6 +235,41 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_orc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core workflow (SQL over ORC files, lib.rs:179-207)
+    end-to-end with OUR components: Spark writes lineitem as ORC, the
+    engine's pure-python ORC reader scans it distributed
+    (one task per file), SQL aggregates over the temp view; oracle =
+    the same aggregate on the raw parquet."""
+    import hashlib
+    import os
+    import tempfile
+
+    from datafusion_orc_spark.sources.orc_source import read_orc_distributed
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"{tempfile.gettempdir()}/dos_orc_scan_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li.repartition(4).write.mode("overwrite").option("compression", "snappy").orc(out)
+    df = read_orc_distributed(spark, f"{out}/*.orc")
+    df.createOrReplaceTempView("lineitem_orc")
+    return spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price "
+        "FROM lineitem_orc GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+
+
+SQL_ORC_SCAN_AGG = """
+SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_roundtrip_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full storage-layer round-trip through the `stripeblob` DataSource:
     tokenize -> resumable encode_job to disk -> spark.read.format(
@@ -713,6 +748,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "roundtrip_lineitem_agg": (q_roundtrip_lineitem_agg, SQL_ROUNDTRIP_LINEITEM_AGG),
     "roundtrip_tokens_agg": (q_roundtrip_tokens_agg, SQL_ROUNDTRIP_TOKENS_AGG),
     "roundtrip_datasource_agg": (q_roundtrip_datasource_agg, SQL_ROUNDTRIP_DATASOURCE_AGG),
+    "orc_scan_agg": (q_orc_scan_agg, SQL_ORC_SCAN_AGG),
     "codec_stats": (q_codec_stats, None),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
