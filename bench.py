@@ -58,7 +58,7 @@ def build_session(cpus: int):
 def materialize_tokens(spark) -> str:
     """Deterministic F1 table, written once to parquet (generation is not
     part of the timed encode)."""
-    if not os.path.exists(TOKENS_PARQUET):
+    if not os.path.exists(os.path.join(TOKENS_PARQUET, "_SUCCESS")):
         from datafusion_orc_spark.sources.tokens import synthetic_sequences
 
         synthetic_sequences(spark, BENCH_ROWS).repartition(CPUS).write.mode(
