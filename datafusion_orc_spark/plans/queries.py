@@ -168,6 +168,81 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / ROLLUP (SURVEY.md §2.2 inherited-operator class)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n", "rev",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS rev
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY rf, ls
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: INTERSECT / EXCEPT over customer key sets."""
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    with_orders = cust.intersect(orders)
+    without = cust.exceptAll(orders.distinct()).distinct()
+    return (
+        with_orders.withColumn("grp", F.lit("with_orders"))
+        .unionAll(without.withColumn("grp", F.lit("no_orders")))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+        .orderBy("grp")
+    )
+
+
+SQL_SET_OPS = """
+WITH w AS (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders),
+n AS (SELECT DISTINCT c_custkey AS k FROM customer EXCEPT SELECT DISTINCT o_custkey FROM orders),
+u AS (SELECT k, 'with_orders' AS grp FROM w UNION ALL SELECT k, 'no_orders' FROM n)
+SELECT grp, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k FROM u
+GROUP BY grp ORDER BY grp
+"""
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar-function surface with a DuckDB oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.upper(F.substring("event_type", 1, 3)).alias("tag"),
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            (F.abs(F.col("value")) + F.sqrt(F.abs(F.col("value")))).alias("m"),
+            F.length("props").alias("plen"),
+        )
+        .groupBy("tag", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("m"), 4).alias("msum"),
+            F.sum("plen").alias("plen_sum"),
+        )
+        .orderBy("tag", "month")
+    )
+
+
+SQL_SCALAR_FUNCTIONS = """
+SELECT UPPER(substr(event_type, 1, 3)) AS tag, strftime(ts, '%Y-%m') AS month,
+       COUNT(*) AS n, ROUND(SUM(ABS(value) + SQRT(ABS(value))), 4) AS msum,
+       SUM(length(props)) AS plen_sum
+FROM events GROUP BY tag, month ORDER BY tag, month
+"""
+
+
 # --------------------------------------------------------------------------
 # 2. encode-engine queries (the north-rule surface)
 # --------------------------------------------------------------------------
@@ -744,6 +819,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     "order_ranks": (q_order_ranks, SQL_ORDER_RANKS),
     "event_type_stats": (q_event_type_stats, SQL_EVENT_TYPE_STATS),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     # encode engine
     "roundtrip_lineitem_agg": (q_roundtrip_lineitem_agg, SQL_ROUNDTRIP_LINEITEM_AGG),
     "roundtrip_tokens_agg": (q_roundtrip_tokens_agg, SQL_ROUNDTRIP_TOKENS_AGG),
