@@ -216,29 +216,41 @@ GROUP BY grp ORDER BY grp
 
 
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String/date/math scalar-function surface with a DuckDB oracle."""
+    """String/date/math scalar-function surface with a DuckDB oracle.
+
+    Float determinism: the math expression is quantized to a fixed-point
+    BIGINT *per row* before the SUM, so the aggregate is an exact integer
+    sum (order-independent) in both engines — a double SUM differs in ulp
+    between Spark and DuckDB because partial-aggregation order differs.
+    """
     ev = _t(spark, sf_dir, "events")
     return (
         ev.select(
             F.upper(F.substring("event_type", 1, 3)).alias("tag"),
             F.date_format("ts", "yyyy-MM").alias("month"),
-            (F.abs(F.col("value")) + F.sqrt(F.abs(F.col("value")))).alias("m"),
+            F.expr(
+                "CAST(ROUND((ABS(value) + SQRT(ABS(value))) * 10000) AS BIGINT)"
+            ).alias("mq"),
             F.length("props").alias("plen"),
         )
         .groupBy("tag", "month")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("m"), 4).alias("msum"),
+            F.sum("mq").alias("msum_q"),
             F.sum("plen").alias("plen_sum"),
         )
         .orderBy("tag", "month")
     )
 
 
+# CAST(SUM(...) AS BIGINT): DuckDB widens SUM(BIGINT) to HUGEINT, which
+# pandas renders as float64 — the driver's value-hash then mismatches
+# Spark's int64 even when every value is equal (CORRECTNESS_r01 root cause).
 SQL_SCALAR_FUNCTIONS = """
 SELECT UPPER(substr(event_type, 1, 3)) AS tag, strftime(ts, '%Y-%m') AS month,
-       COUNT(*) AS n, ROUND(SUM(ABS(value) + SQRT(ABS(value))), 4) AS msum,
-       SUM(length(props)) AS plen_sum
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND((ABS(value) + SQRT(ABS(value))) * 10000) AS BIGINT)) AS BIGINT) AS msum_q,
+       CAST(SUM(length(props)) AS BIGINT) AS plen_sum
 FROM events GROUP BY tag, month ORDER BY tag, month
 """
 
@@ -304,8 +316,8 @@ def q_roundtrip_tokens_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ROUNDTRIP_TOKENS_AGG = f"""
 SELECT source, COUNT(*) AS docs,
-       SUM(len({dl.tokens(DUCK)})) AS total_tokens,
-       SUM({dl.list_sum(DUCK, dl.tokens(DUCK))}) AS token_value_sum
+       CAST(SUM(len({dl.tokens(DUCK)})) AS BIGINT) AS total_tokens,
+       CAST(SUM({dl.list_sum(DUCK, dl.tokens(DUCK))}) AS BIGINT) AS token_value_sum
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -375,7 +387,7 @@ def q_roundtrip_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ROUNDTRIP_DATASOURCE_AGG = f"""
 SELECT source, COUNT(*) AS docs,
-       SUM(len({dl.tokens(DUCK)})) AS total_tokens,
+       CAST(SUM(len({dl.tokens(DUCK)})) AS BIGINT) AS total_tokens,
        MIN(concat('doc-', lpad(CAST(doc_id AS VARCHAR), 12, '0'))) AS first_doc
 FROM documents GROUP BY source ORDER BY source
 """
@@ -425,15 +437,20 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_STATS = f"""
 SELECT source, COUNT(*) AS docs,
-       SUM(len({dl.words(DUCK)})) AS total_words,
-       SUM(len(list_distinct({dl.tokens(DUCK)}))) AS total_distinct_tokens,
+       CAST(SUM(len({dl.words(DUCK)})) AS BIGINT) AS total_words,
+       CAST(SUM(len(list_distinct({dl.tokens(DUCK)}))) AS BIGINT) AS total_distinct_tokens,
        ROUND(AVG(len({dl.words(DUCK)})), 6) AS avg_words
 FROM documents GROUP BY source ORDER BY source
 """
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length, word-length, stopword-ratio heuristics."""
+    """Quality scoring: length, word-length, stopword-ratio heuristics.
+
+    Per-row ratios are quantized to 1e6 fixed-point BIGINTs before the
+    AVG, so the aggregate is exact-integer-sum / count — identical
+    doubles in Spark and DuckDB regardless of partial-agg order.
+    """
     docs = _t(spark, sf_dir, "documents")
     w = dl.words(SPARK)
     sw = dl.stopword_hits(SPARK, w, STOPWORDS_EN)
@@ -441,15 +458,19 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "lang",
             F.expr(f"size({w})").alias("n_words"),
-            (F.col("n_chars") / F.expr(f"greatest(size({w}), 1)")).alias("avg_wlen"),
-            (F.expr(sw) / F.expr(f"greatest(size({w}), 1)")).alias("stop_ratio"),
+            F.expr(
+                f"CAST(ROUND(n_chars * 1000000.0 / greatest(size({w}), 1)) AS BIGINT)"
+            ).alias("wlen_q"),
+            F.expr(
+                f"CAST(ROUND({sw} * 1000000.0 / greatest(size({w}), 1)) AS BIGINT)"
+            ).alias("stop_q"),
         )
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("docs"),
-            F.round(F.avg("avg_wlen"), 6).alias("avg_word_len"),
-            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
-            F.sum(F.when((F.col("n_words") >= 10) & (F.col("stop_ratio") > 0), 1).otherwise(0)).alias("quality_docs"),
+            F.expr("CAST(ROUND(AVG(wlen_q)) AS BIGINT)").alias("avg_word_len_q"),
+            F.expr("CAST(ROUND(AVG(stop_q)) AS BIGINT)").alias("avg_stop_ratio_q"),
+            F.sum(F.when((F.col("n_words") >= 10) & (F.col("stop_q") > 0), 1).otherwise(0)).alias("quality_docs"),
         )
         .orderBy("lang")
     )
@@ -459,14 +480,14 @@ SQL_QUALITY_SCORES = f"""
 WITH d AS (
   SELECT lang,
          len({dl.words(DUCK)}) AS n_words,
-         n_chars / GREATEST(len({dl.words(DUCK)}), 1) AS avg_wlen,
-         {dl.stopword_hits(DUCK, dl.words(DUCK), STOPWORDS_EN)}
-           / CAST(GREATEST(len({dl.words(DUCK)}), 1) AS DOUBLE) AS stop_ratio
+         CAST(ROUND(n_chars * 1000000.0 / GREATEST(len({dl.words(DUCK)}), 1)) AS BIGINT) AS wlen_q,
+         CAST(ROUND({dl.stopword_hits(DUCK, dl.words(DUCK), STOPWORDS_EN)}
+           * 1000000.0 / GREATEST(len({dl.words(DUCK)}), 1)) AS BIGINT) AS stop_q
   FROM documents)
 SELECT lang, COUNT(*) AS docs,
-       ROUND(AVG(avg_wlen), 6) AS avg_word_len,
-       ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio,
-       SUM(CASE WHEN n_words >= 10 AND stop_ratio > 0 THEN 1 ELSE 0 END) AS quality_docs
+       CAST(ROUND(AVG(wlen_q)) AS BIGINT) AS avg_word_len_q,
+       CAST(ROUND(AVG(stop_q)) AS BIGINT) AS avg_stop_ratio_q,
+       CAST(SUM(CASE WHEN n_words >= 10 AND stop_q > 0 THEN 1 ELSE 0 END) AS BIGINT) AS quality_docs
 FROM d GROUP BY lang ORDER BY lang
 """
 

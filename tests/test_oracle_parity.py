@@ -45,6 +45,24 @@ ORACLES = entrymod.oracle_sql()
 ALL = entrymod.queries()
 
 
+def _value_hash(df: pd.DataFrame) -> str:
+    """Strict driver-emulation hash: sort columns by name, sort rows,
+    hash the exact repr of every value. int64 1 vs float64 1.0 MUST
+    mismatch — the driver's compare is representation-sensitive
+    (CORRECTNESS_r01 failed 5 queries on DuckDB HUGEINT -> float64)."""
+    import hashlib
+
+    df = df[sorted(df.columns)].copy()
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    h = hashlib.sha256()
+    for _, row in df.iterrows():
+        for v in row:
+            h.update(repr(v).encode())
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     sdf = ALL[name](spark, SF_DIR).toPandas()
@@ -55,6 +73,12 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(sdf) == len(odf), f"{name}: {len(sdf)} rows vs oracle {len(odf)}"
     a, b = _normalize(sdf), _normalize(odf)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+    # strict representation-level match (the driver's actual gate)
+    hs, ho = _value_hash(sdf), _value_hash(odf)
+    assert hs == ho, (
+        f"{name}: value-hash mismatch (spark dtypes {dict(sdf.dtypes.astype(str))} "
+        f"vs oracle {dict(odf.dtypes.astype(str))})"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLES)))
