@@ -23,4 +23,9 @@ This package re-expresses that capability Spark-first:
                  text analysis) as DataFrame compositions.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Bump whenever any on-disk format (stripe blobs, ORC writer output,
+# manifest layout) changes shape: /tmp caches written by queries are keyed
+# on this, so a stale dir from an older code version is never re-served.
+FORMAT_VERSION = 2

@@ -82,3 +82,44 @@ def simhash_bit(d: int, toks: str, bit: int) -> str:
 def simhash(d: int, toks: str, bits: int = 16) -> str:
     terms = " + ".join(f"{simhash_bit(d, toks, b)} * {1 << b}" for b in range(bits))
     return f"({terms})"
+
+
+# --- integer sign-projection LSH (embedding dedup / ANN scale path) ------
+#
+# Hyperplane weights are deterministic integers (LCG over the plane/dim
+# index), and the projected vector is the 1e3-quantized embedding — the
+# whole bucket computation is exact integer arithmetic, so Spark and
+# DuckDB produce IDENTICAL buckets (a float sin()-based projection can
+# flip sign between engines at ulp distance and break the oracle).
+
+def lsh_weights(plane: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random weights in [-1000, 1000]."""
+    return [
+        ((1103515245 * (plane * 1009 + i) + 12345) % 2001) - 1000
+        for i in range(dim)
+    ]
+
+
+def lsh_projection(d: int, qcol: str, plane: int, dim: int) -> str:
+    """Integer dot product of quantized embedding `qcol` with plane weights."""
+    w = lsh_weights(plane, dim)
+    if d == 0:  # spark
+        arr = "array(" + ", ".join(f"{v}L" for v in w) + ")"
+        return (
+            f"aggregate(zip_with({qcol}, {arr}, (x, y) -> x * y), "
+            f"0L, (a, v) -> a + v)"
+        )
+    arr = "[" + ", ".join(str(v) for v in w) + "]"
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> {qcol}[i] * ({arr})[i]))"
+    )
+
+
+def lsh_band_bucket(d: int, qcol: str, band: int, bits_per_band: int, dim: int) -> str:
+    """Bucket id for one band: `bits_per_band` sign bits packed into an int."""
+    terms = []
+    for j in range(bits_per_band):
+        proj = lsh_projection(d, qcol, band * bits_per_band + j, dim)
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"

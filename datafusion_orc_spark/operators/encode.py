@@ -153,6 +153,12 @@ def encode_table(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS, job_toke
                 take = min(stripe_rows, table.num_rows - pos)
                 stripe = table.slice(pos, take).to_batches()[0]
                 blobs, stats = encode_stripe(stripe)
+                if part_id >= (1 << 16) or seq >= (1 << 24):
+                    raise ValueError(
+                        f"stripe_id packing overflow: part_id={part_id} (max 65535), "
+                        f"seq={seq} (max {(1 << 24) - 1}) — widen the packing before "
+                        f"running with >65536 partitions"
+                    )
                 stripe_id = (job_token << 40) | (part_id << 24) | seq
                 seq += 1
                 pos += take
@@ -179,12 +185,13 @@ def decode_table(
     spark_schema,
     columns: list[str] | None = None,
     prune: dict[str, tuple[int, int]] | None = None,
+    shuffle: bool = False,
 ) -> DataFrame:
     """Blob table -> original rows (projection via ``columns``).
 
     ``spark_schema``: the Spark StructType of the original table (used
-    as the applyInArrow output schema); ``schema``: matching Arrow
-    schema (derived from spark_schema if None).
+    as the output schema); ``schema``: matching Arrow schema (derived
+    from spark_schema if None).
 
     ``prune``: {column: (lo, hi)} — stripe pruning on the per-stripe
     min/max stats (the engine-side analogue of ORC ROW_INDEX seek /
@@ -192,6 +199,15 @@ def decode_table(
     whose [vmin, vmax] cannot intersect [lo, hi] are never decoded.
     Rows outside the range within surviving stripes still come back —
     apply the residual filter on the decoded frame.
+
+    ``shuffle=False`` (default, the 100-TB path): decode inside the scan
+    partitions with ``mapInArrow`` — encode emits every column of a
+    stripe contiguously from one task, so a stripe's blob rows are
+    co-partitioned and the decode needs NO Exchange (the
+    StripeBlobReader pattern; at scale a groupBy here would reshuffle
+    every encoded byte on every read). ``shuffle=True`` falls back to
+    ``groupBy(stripe_id).applyInArrow`` for blob tables whose stripes
+    were scattered across partitions by an arbitrary repartition.
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -213,13 +229,41 @@ def decode_table(
     if columns is not None:
         blobs_df = blobs_df.filter(F.col("column").isin(columns))
         spark_schema = StructType([f for f in spark_schema.fields if f.name in columns])
+    expected = set(names)
 
-    def decode_fn(table: pa.Table) -> pa.Table:
-        blob_by_col = dict(zip(table.column("column").to_pylist(), table.column("data").to_pylist()))
-        batch = decode_stripe(blob_by_col, schema, columns=names)
-        return pa.Table.from_batches([batch])
+    if shuffle:
 
-    return blobs_df.groupBy("stripe_id").applyInArrow(decode_fn, spark_schema)
+        def decode_fn(table: pa.Table) -> pa.Table:
+            blob_by_col = dict(zip(table.column("column").to_pylist(), table.column("data").to_pylist()))
+            batch = decode_stripe(blob_by_col, schema, columns=names)
+            return pa.Table.from_batches([batch])
+
+        return blobs_df.groupBy("stripe_id").applyInArrow(decode_fn, spark_schema)
+
+    def decode_local(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # partition-local group-by: accumulate blob rows per stripe_id,
+        # decode as soon as a stripe has all projected columns
+        pending: dict[int, dict[str, bytes]] = {}
+        for b in batches:
+            sids = b.column("stripe_id").to_pylist()
+            cols = b.column("column").to_pylist()
+            data = b.column("data").to_pylist()
+            for sid, col, blob in zip(sids, cols, data):
+                if col not in expected:
+                    continue
+                got = pending.setdefault(sid, {})
+                got[col] = blob
+                if len(got) == len(expected):
+                    yield decode_stripe(got, schema, columns=names)
+                    del pending[sid]
+        if pending:
+            raise ValueError(
+                f"decode_table(shuffle=False): stripes {sorted(pending)[:8]} are "
+                f"missing columns within their partition — the blob table was "
+                f"repartitioned after encode; pass shuffle=True"
+            )
+
+    return blobs_df.mapInArrow(decode_local, spark_schema)
 
 
 def verify_roundtrip(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS) -> tuple[bool, dict]:

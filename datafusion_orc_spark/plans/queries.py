@@ -332,12 +332,13 @@ def q_orc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from datafusion_orc_spark import FORMAT_VERSION
     from datafusion_orc_spark.sources.orc_source import read_orc_distributed
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{sf_dir}:v{FORMAT_VERSION}".encode()).hexdigest()[:8]
     out = f"{tempfile.gettempdir()}/dos_orc_scan_{tag}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         li.repartition(4).write.mode("overwrite").option("compression", "snappy").orc(out)
@@ -364,12 +365,13 @@ def q_roundtrip_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
+    from datafusion_orc_spark import FORMAT_VERSION
     from datafusion_orc_spark.plans.pipeline import encode_job
     from datafusion_orc_spark.sources.stripeblob_datasource import register
     from datafusion_orc_spark.sources.tokens import tokenized_sequences
 
     seqs = tokenized_sequences(spark, sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{sf_dir}:v{FORMAT_VERSION}".encode()).hexdigest()[:8]
     out = f"{tempfile.gettempdir()}/dos_stripeblob_{tag}"
     encode_job(spark, seqs, out, n_chunks=2, partitions_per_chunk=4, stripe_rows=2048)
     register(spark)
@@ -698,41 +700,87 @@ WHERE jac >= 0.5 ORDER BY doc_a, doc_b
 SQL_DEDUP_NGRAM_JACCARD = _sql_dedup_ngram_jaccard()
 
 
-def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: vector pairs above a cosine threshold
-    (integer-quantized dot/norms for cross-engine determinism)."""
+# LSH geometry shared by embedding dedup + ANN: 8 bands x 4 sign bits over
+# 64-dim embeddings. Bucket math is exact integer arithmetic in both
+# dialects (functions/dialect.py lsh_*), so candidate sets are identical.
+# Geometry trade-off (documented for the 100-TB path): recall for a
+# cos-0.3 neighbor = 1-(1-p^4)^8 ~ 0.66 with p = 1-acos(cos)/pi; at
+# billions of vectors raise bits_per_band toward log2(n)/2 to keep
+# buckets small and add bands to hold recall.
+_LSH_BANDS, _LSH_BITS, _EMB_DIM = 8, 4, 64
+
+
+def _lsh_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, bucket, q) — one row per vector per band; single scan
+    (buckets computed side-by-side, then posexplode)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "q", F.expr(_QUANT_SPARK.format(col="embedding"))
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    buckets = F.array(*[
+        F.expr(dl.lsh_band_bucket(SPARK, "q", b, _LSH_BITS, _EMB_DIM))
+        for b in range(_LSH_BANDS)
+    ])
+    return emb.select(
+        "vec_id", "q", F.posexplode(buckets).alias("band", "bucket")
+    )
+
+
+def _sql_lsh_bands(qcol: str = "qe") -> str:
+    parts = [
+        f"SELECT vec_id, {b} AS band, "
+        f"{dl.lsh_band_bucket(DUCK, qcol, b, _LSH_BITS, _EMB_DIM)} AS bucket FROM q"
+        for b in range(_LSH_BANDS)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_SQL_QUANT_CTE = """
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+  FROM embeddings)"""
+
+_SQL_COS_DUCK = """ROUND(
+           CAST(list_sum(list_transform(range(1, len(a.qe) + 1),
+                i -> a.qe[i] * b.qe[i])) AS DOUBLE) /
+           (sqrt(CAST(list_sum(list_transform(a.qe, x -> x * x)) AS DOUBLE)) *
+            sqrt(CAST(list_sum(list_transform(b.qe, x -> x * x)) AS DOUBLE))), 6)"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-bucketed (the 100-TB path): candidate
+    pairs come from an equi-join on (band, bucket) — never an all-pairs
+    theta-join — then cosine-verified on integer-quantized vectors."""
+    bands = _lsh_bands_df(spark, sf_dir)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    q = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QUANT_SPARK.format(col="embedding")).alias("q")
+    )
     pairs = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.q").alias("qa"),
-            F.col("b.q").alias("qb"),
-        )
+        cand.join(q.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa")), "vec_a")
+        .join(q.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb")), "vec_b")
         .select("vec_a", "vec_b", F.round(F.expr(_COS_SPARK), 6).alias("cos"))
     )
     return pairs.filter(F.col("cos") >= 0.5).orderBy("vec_a", "vec_b")
 
 
-SQL_DEDUP_EMBEDDING = """
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
-  FROM embeddings),
+SQL_DEDUP_EMBEDDING = f"""
+WITH {_SQL_QUANT_CTE},
+bands AS ({_sql_lsh_bands()}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         ROUND(
-           CAST(list_sum(list_transform(range(1, len(a.qe) + 1),
-                i -> a.qe[i] * b.qe[i])) AS DOUBLE) /
-           (sqrt(CAST(list_sum(list_transform(a.qe, x -> x * x)) AS DOUBLE)) *
-            sqrt(CAST(list_sum(list_transform(b.qe, x -> x * x)) AS DOUBLE))), 6) AS cos
-  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+  SELECT c.vec_a, c.vec_b, {_SQL_COS_DUCK} AS cos
+  FROM cand c JOIN q a ON a.vec_id = c.vec_a JOIN q b ON b.vec_id = c.vec_b)
 SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.5 ORDER BY vec_a, vec_b
 """
 
@@ -805,28 +853,122 @@ SELECT query_id, neighbor_id, cos, rnk FROM (
 """
 
 
-def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN scale path: sign-random-projection buckets.
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN search (the 100-TB scale path): candidates = union
+    of vectors sharing any band bucket with a query vector (equi-join on
+    (band, bucket) — never a crossJoin), cosine-scored, top-10 per query.
 
-    Hyperplanes are deterministic pseudo-random (hash of dim index);
-    output = bucket histogram (rows-only check: float reductions across
-    engines make hash-oracle comparison brittle)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    # 8 hyperplanes; weight for (plane p, dim i) = sin(p*131 + i*17) — deterministic
-    bits = []
-    for p in range(8):
-        proj = (
-            f"aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
-            f"(x, i) -> CAST(x AS DOUBLE) * sin({p} * 131 + i * 17)), 0D, (a, v) -> a + v)"
-        )
-        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(bits)
-    return (
-        emb.select(F.expr(bucket).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .orderBy("bucket")
+    Same integer LSH as dedup_embedding, so buckets — and therefore the
+    result set — are bit-identical between Spark and the DuckDB oracle.
+    Queries = vec_id < 5 (same set as the brute-force ann_cosine_topk
+    baseline; q_ann_recall measures recall@10 against it)."""
+    from pyspark.sql.window import Window
+
+    bands = _lsh_bands_df(spark, sf_dir)
+    qb = bands.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
     )
+    cand = (
+        qb.join(bands.select(F.col("vec_id").alias("neighbor_id"), "band", "bucket"),
+                ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QUANT_SPARK.format(col="embedding")).alias("q")
+    )
+    scored = (
+        cand.join(q.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa")), "query_id")
+        .join(q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb")), "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(F.expr(_COS_SPARK), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("query_id", "rnk")
+    )
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH {_SQL_QUANT_CTE},
+bands AS ({_sql_lsh_bands()}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+  WHERE x.vec_id < 5),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_SQL_COS_DUCK} AS cos
+  FROM cand c JOIN q a ON a.vec_id = c.query_id JOIN q b ON b.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the LSH-bucketed search vs the brute-force baseline,
+    per query vector — the quality metric that justifies the scale path.
+    Integer outputs (hits, recall_pct) keep the oracle hash exact."""
+    bf = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = q_ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    overlap = (
+        bf.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        bf.select("query_id").distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) * 10).alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH {_SQL_QUANT_CTE},
+bf_pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_SQL_COS_DUCK} AS cos
+  FROM q a, q b
+  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM bf_pairs) WHERE rnk <= 10),
+bands AS ({_sql_lsh_bands()}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+  WHERE x.vec_id < 5),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {_SQL_COS_DUCK} AS cos
+  FROM cand c JOIN q a ON a.vec_id = c.query_id JOIN q b ON b.vec_id = c.neighbor_id),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored) WHERE rnk <= 10),
+overlap AS (
+  SELECT bf.query_id, COUNT(*) AS hits
+  FROM bf JOIN lsh ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+  GROUP BY bf.query_id)
+SELECT qs.query_id,
+       CAST(COALESCE(o.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(o.hits, 0) * 10 AS BIGINT) AS recall_pct
+FROM (SELECT DISTINCT query_id FROM bf) qs
+LEFT JOIN overlap o ON qs.query_id = o.query_id
+ORDER BY qs.query_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -862,5 +1004,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     # similarity
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
-    "ann_lsh_buckets": (q_ann_lsh_buckets, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
 }

@@ -45,6 +45,55 @@ def test_encode_plan_has_no_exchange(spark):
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
 
 
+def test_decode_plan_has_no_exchange(spark):
+    """The default decode path must not reshuffle the encoded bytes:
+    encode -> mapInArrow decode, zero Exchange nodes (at 100 TB a
+    groupBy(stripe_id) here would shuffle the whole dataset per read)."""
+    from datafusion_orc_spark.operators.encode import decode_table, encode_table
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    dec = decode_table(encode_table(df, stripe_rows=4096), None, df.schema)
+    plan = _plan(dec)
+    assert "Exchange" not in plan, plan
+
+
+def test_decode_local_roundtrip_values(spark):
+    """shuffle=False decode returns the exact rows (content-hash equal)."""
+    from datafusion_orc_spark.operators.encode import verify_roundtrip
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(4)
+    ok, stats = verify_roundtrip(df, stripe_rows=1000)
+    assert ok, stats
+
+
+def test_decode_shuffled_blobs_raises_then_fallback_works(spark):
+    """Blob tables repartitioned after encode: the no-shuffle decode must
+    fail loudly (not silently mis-decode); shuffle=True handles them."""
+    from datafusion_orc_spark.operators.encode import decode_table, encode_table
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").repartition(4)
+    blobs = encode_table(df, stripe_rows=500).repartition(16).cache()
+    blobs.count()
+    try:
+        with pytest.raises(Exception, match="repartitioned|missing columns"):
+            decode_table(blobs, None, df.schema).count()
+        assert decode_table(blobs, None, df.schema, shuffle=True).count() == df.count()
+    finally:
+        blobs.unpersist()
+
+
+@pytest.mark.parametrize("qname", ["q_dedup_embedding", "q_ann_lsh_topk"])
+def test_lsh_paths_have_no_cartesian_join(spark, qname):
+    """The embedding dedup / ANN scale paths must candidate via the
+    (band, bucket) equi-join — an all-pairs theta-join (CartesianProduct /
+    BroadcastNestedLoopJoin) is O(n^2) and dead at 100 TB."""
+    import datafusion_orc_spark.plans.queries as Q
+
+    plan = _plan(getattr(Q, qname)(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_wholestage_codegen_in_agg(spark):
     from datafusion_orc_spark.plans.queries import q_pricing_summary
 
