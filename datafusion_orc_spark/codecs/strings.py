@@ -9,12 +9,14 @@ stream pair (verified on the corpus, SURVEY.md §1.4/§2.3 D11).
   semantics, §2.3 D12): ``np.unique`` returns exactly (sorted uniques,
   inverse indexes).
 - FSST (Boncz/Neumann/Leis, "FSST: Fast Random Access String
-  Compression", VLDB 2020) is implemented as a vectorized variant with
-  symbols of length 1 and 2 trained per stripe: code 255 escapes raw
-  bytes; single-byte symbols avoid escape blowup; digram matches are
-  chosen greedily left-to-right (computed vectorized via the
-  run-parity trick — within a maximal run of matchable positions,
-  greedy selects every other one). No per-byte Python.
+  Compression", VLDB 2020) with symbols up to the paper's 8 bytes:
+  code 255 escapes raw bytes; a base table of 1-2 byte symbols is
+  trained first (digram matches chosen greedily left-to-right via the
+  vectorized run-parity trick), then — like the paper's generational
+  table construction — merge rounds concatenate the most profitable
+  adjacent code pairs into longer symbols (<=8 bytes) and rewrite the
+  code stream vectorized, never letting a symbol span a string
+  boundary. No per-byte Python anywhere.
 """
 
 from __future__ import annotations
@@ -73,8 +75,11 @@ def dict_decode(dict_blob: bytes, dict_lengths: np.ndarray, indexes: np.ndarray)
 
 # ---------------------------------------------------------------- FSST-lite
 
+MAX_SYMBOL_LEN = 8  # the paper's maximum symbol length
+
+
 class FsstTable:
-    """Symbol table: up to 255 symbols of length 1 or 2.
+    """Symbol table: up to 255 symbols of length 1..8.
 
     Serialized layout: u8 n_symbols, then per symbol: u8 length +
     symbol bytes.
@@ -82,20 +87,21 @@ class FsstTable:
 
     def __init__(self, symbols: list[bytes]):
         assert len(symbols) <= _MAX_SYMBOLS
+        assert all(1 <= len(s) <= MAX_SYMBOL_LEN for s in symbols)
         self.symbols = symbols
         # decode tables
         self.out_len = np.zeros(256, dtype=np.int64)
-        self.out_bytes = np.zeros((256, 2), dtype=np.uint8)
+        self.out_bytes = np.zeros((256, MAX_SYMBOL_LEN), dtype=np.uint8)
         for code, s in enumerate(symbols):
             self.out_len[code] = len(s)
             self.out_bytes[code, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-        # encode tables
+        # encode tables (base 1-2 byte generation only)
         self.digram_code = np.full(65536, ESCAPE, dtype=np.uint8)
         self.single_code = np.full(256, ESCAPE, dtype=np.uint8)
         for code, s in enumerate(symbols):
             if len(s) == 2:
                 self.digram_code[s[0] * 256 + s[1]] = code
-            else:
+            elif len(s) == 1:
                 self.single_code[s[0]] = code
 
     def serialize(self) -> bytes:
@@ -118,7 +124,7 @@ class FsstTable:
         return cls(symbols)
 
 
-def fsst_train(blob: bytes, sample_limit: int = 1 << 16) -> FsstTable:
+def fsst_train(blob: bytes, sample_limit: int = 1 << 16, max_symbols: int = _MAX_SYMBOLS) -> FsstTable:
     """Pick the most profitable <=255 symbols from a bounded sample.
 
     Digrams save 1 byte/use; single-byte symbols save 1 byte/use vs the
@@ -144,7 +150,7 @@ def fsst_train(blob: bytes, sample_limit: int = 1 << 16) -> FsstTable:
         if c >= 4:
             cands.append((c, bytes([d >> 8, d & 0xFF])))
     cands.sort(key=lambda t: (-t[0], t[1]))
-    return FsstTable([s for _, s in cands[:_MAX_SYMBOLS]])
+    return FsstTable([s for _, s in cands[:max_symbols]])
 
 
 def fsst_encode(blob: bytes, table: FsstTable, boundaries: np.ndarray | None = None) -> bytes:
@@ -231,23 +237,153 @@ def fsst_decode(data: bytes, table: FsstTable) -> bytes:
     np.cumsum(out_w[:-1], out=opos[1:])
     out = np.empty(total, dtype=np.uint8)
     cp = np.flatnonzero(code_pos)
-    w1 = cp[out_w[cp] == 1]
-    w2 = cp[out_w[cp] == 2]
-    out[opos[w1]] = table.out_bytes[c[w1], 0]
-    out[opos[w2]] = table.out_bytes[c[w2], 0]
-    out[opos[w2] + 1] = table.out_bytes[c[w2], 1]
+    # expand per symbol length (<= MAX_SYMBOL_LEN vectorized scatters)
+    for w in range(1, MAX_SYMBOL_LEN + 1):
+        ww = cp[out_w[cp] >= w]
+        if len(ww):
+            out[opos[ww] + (w - 1)] = table.out_bytes[c[ww], w - 1]
     pp = np.flatnonzero(payload)
     out[opos[pp]] = c[pp]
     return out.tobytes()
 
 
+def _parse_elements(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Encoded byte stream -> element arrays.
+
+    Element id space: 0..254 = symbol code, 256+b = escape literal b.
+    Returns (elem_id int64[], positions-in-stream not needed afterwards).
+    """
+    c = np.frombuffer(data, dtype=np.uint8)
+    n = len(c)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    is_esc = c == ESCAPE
+    run_start = is_esc & ~np.concatenate(([False], is_esc[:-1]))
+    pos_in_run = np.arange(n) - np.maximum.accumulate(np.where(run_start, np.arange(n), -1))
+    marker = is_esc & (pos_in_run % 2 == 0)
+    payload = np.zeros(n, dtype=bool)
+    payload[1:] = marker[:-1]
+    code_pos = ~marker & ~payload
+    elem_id = np.empty(int(code_pos.sum()) + int(marker.sum()), dtype=np.int64)
+    starts = np.flatnonzero(code_pos | marker)
+    ids = np.where(marker[starts], 256 + c[np.minimum(starts + 1, n - 1)].astype(np.int64), c[starts].astype(np.int64))
+    elem_id[:] = ids
+    return elem_id, starts
+
+
+def _merge_rounds(
+    elem_id: np.ndarray,
+    table: FsstTable,
+    string_id: np.ndarray,
+    rounds: int = 3,
+    min_count: int = 8,
+) -> tuple[np.ndarray, FsstTable]:
+    """FSST generational construction: per round, concatenate the most
+    profitable adjacent element pairs into new symbols (<=8 bytes) and
+    rewrite the element stream vectorized (run-parity non-overlap).
+
+    ``string_id``: per element, the source string it belongs to — a
+    merged symbol never spans two values (random access per value).
+    """
+    symbols = list(table.symbols)
+
+    def expansion(eid: int) -> bytes:
+        return symbols[eid] if eid < 256 else bytes([eid - 256])
+
+    def cost(eids: np.ndarray) -> np.ndarray:
+        return np.where(eids < 256, 1, 2)
+
+    elem_len = np.where(
+        elem_id < 256,
+        table.out_len[np.minimum(elem_id, 255)],
+        1,
+    ).astype(np.int64)
+
+    for _ in range(rounds):
+        free = _MAX_SYMBOLS - len(symbols)
+        if free <= 0 or len(elem_id) < 2:
+            break
+        a, b = elem_id[:-1], elem_id[1:]
+        valid = (string_id[:-1] == string_id[1:]) & (elem_len[:-1] + elem_len[1:] <= MAX_SYMBOL_LEN)
+        key = a * 512 + b
+        counts = np.bincount(key[valid], minlength=512 * 512)
+        save_per = cost(a) + cost(b) - 1  # merged element always costs 1
+        # profitability must beat the table overhead (1 len byte + bytes)
+        cand_keys = np.flatnonzero(counts >= min_count)
+        if not len(cand_keys):
+            break
+        gains = []
+        for k in cand_keys.tolist():
+            ka, kb = k >> 9, k & 511
+            sym = expansion(ka) + expansion(kb)
+            per = (1 if ka < 256 else 2) + (1 if kb < 256 else 2) - 1
+            g = int(counts[k]) * per - (1 + len(sym))
+            if g > 0:
+                gains.append((g, k, sym))
+        if not gains:
+            break
+        gains.sort(key=lambda t: (-t[0], t[1]))
+        chosen = gains[: min(free, 64)]
+        pair_code = np.full(512 * 512, -1, dtype=np.int64)
+        for _g, k, sym in chosen:
+            pair_code[k] = len(symbols)
+            symbols.append(sym)
+        table = FsstTable(symbols)
+        # rewrite: greedy non-overlapping replacement of chosen pairs
+        m = np.zeros(len(elem_id), dtype=bool)
+        m[:-1] = valid & (pair_code[key] >= 0)
+        run_start = m & ~np.concatenate(([False], m[:-1]))
+        pos = np.arange(len(m)) - np.maximum.accumulate(np.where(run_start, np.arange(len(m)), -1))
+        sel = m & (pos % 2 == 0)
+        consumed = np.zeros(len(m), dtype=bool)
+        consumed[1:] = sel[:-1]
+        keep = ~consumed
+        new_id = elem_id.copy()
+        idx = np.flatnonzero(sel)
+        new_id[idx] = pair_code[key[idx]]
+        new_len = elem_len.copy()
+        new_len[idx] = elem_len[idx] + elem_len[idx + 1]
+        elem_id = new_id[keep]
+        elem_len = new_len[keep]
+        string_id = string_id[keep]
+    return elem_id, FsstTable(symbols)
+
+
+def _emit_elements(elem_id: np.ndarray) -> bytes:
+    """Element ids -> encoded byte stream (code byte | ESCAPE + literal)."""
+    n = len(elem_id)
+    if n == 0:
+        return b""
+    is_code = elem_id < 256
+    width = np.where(is_code, 1, 2)
+    opos = np.zeros(n, dtype=np.int64)
+    np.cumsum(width[:-1], out=opos[1:])
+    out = np.empty(int(width.sum()), dtype=np.uint8)
+    out[opos[is_code]] = elem_id[is_code]
+    e = np.flatnonzero(~is_code)
+    out[opos[e]] = ESCAPE
+    out[opos[e] + 1] = (elem_id[e] - 256).astype(np.uint8)
+    return out.tobytes()
+
+
 def fsst_compress_column(blob: bytes, lengths: np.ndarray) -> tuple[bytes, bytes] | None:
-    """Train + compress a string column. Returns (table_bytes, data) or
-    None when unprofitable (<5% savings), mirroring E6's fallback."""
-    table = fsst_train(blob)
+    """Train + compress a string column (full FSST: base 1-2 byte table,
+    then merge rounds growing symbols to <=8 bytes). Returns
+    (table_bytes, data) or None when unprofitable (<5% savings),
+    mirroring E6's fallback."""
+    base = fsst_train(blob, max_symbols=128)  # leave room for merged symbols
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    data = fsst_encode(blob, table, boundaries=offsets[1:-1])
+    data = fsst_encode(blob, base, boundaries=offsets[1:-1])
+    elem_id, _starts = _parse_elements(data)
+    # per-element source string: elements never span values, so the
+    # cumulative decoded length locates each element's string
+    elem_len = np.where(elem_id < 256, base.out_len[np.minimum(elem_id, 255)], 1).astype(np.int64)
+    src_start = np.zeros(len(elem_id), dtype=np.int64)
+    np.cumsum(elem_len[:-1], out=src_start[1:])
+    string_id = np.searchsorted(offsets[1:], src_start, side="right")
+    elem_id, table = _merge_rounds(elem_id, base, string_id)
+    data = _emit_elements(elem_id)
     tbl = table.serialize()
     if len(data) + len(tbl) > 0.95 * max(1, len(blob)):
         return None

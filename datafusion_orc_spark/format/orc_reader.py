@@ -69,8 +69,10 @@ def decompress_stream(raw: bytes, compression: int) -> bytes:
         elif compression == 2:  # SNAPPY
             size = _snappy_uncompressed_len(chunk)
             out += pa.Codec("snappy").decompress(chunk, size).to_pybytes()
-        elif compression == 4:  # LZ4
-            out += pa.Codec("lz4_raw").decompress(chunk, 1 << 24).to_pybytes()
+        elif compression == 4:  # LZ4 block (exact size unknown: pure-py decode)
+            from datafusion_orc_spark.codecs.lz4block import lz4_block_decompress
+
+            out += lz4_block_decompress(chunk)
         elif compression == 5:  # ZSTD (framed; size read from the frame)
             out += pa.CompressedInputStream(pa.BufferReader(chunk), "zstd").read()
         else:
@@ -267,25 +269,42 @@ class _StripeReader:
 class OrcReader:
     """Read an ORC file into an Arrow table (schema inference + decode).
 
-    Mirrors the reference's read path: `fetch_schema` = tail-only read
-    (src/file_format.rs:44-54); per-stripe ranged reads
-    (src/object_store_reader.rs:40-58).
+    Mirrors the reference's read path: `fetch_schema` = TAIL-ONLY ranged
+    read (src/file_format.rs:44-54 — never the whole file); per-stripe
+    ranged reads (src/object_store_reader.rs:40-58). ``opener`` abstracts
+    the byte source (local fs by default) the way the reference's
+    ObjectStoreReader abstracts ranged GETs: any callable returning a
+    seekable binary file object works (fsspec/S3/HDFS adapters plug in
+    without touching the decode path).
     """
 
-    def __init__(self, path_or_bytes: str | bytes):
+    _TAIL_GUESS = 16 * 1024
+
+    def __init__(self, path_or_bytes: str | bytes, opener=None):
+        import io
+
         if isinstance(path_or_bytes, (bytes, bytearray)):
-            self._buf = bytes(path_or_bytes)
+            self._f = io.BytesIO(bytes(path_or_bytes))
+        elif opener is not None:
+            self._f = opener(path_or_bytes)
         else:
-            with open(path_or_bytes, "rb") as f:
-                self._buf = f.read()
-        ps_len = self._buf[-1]
-        self.postscript = proto.parse_postscript(self._buf[-1 - ps_len : -1])
-        f_end = len(self._buf) - 1 - ps_len
-        footer_raw = self._buf[f_end - self.postscript.footer_length : f_end]
+            self._f = open(path_or_bytes, "rb")
+        self._f.seek(0, 2)
+        self._len = self._f.tell()
+        # tail-only metadata read: postscript + footer live at the end
+        tail = self._read(max(0, self._len - self._TAIL_GUESS), min(self._len, self._TAIL_GUESS))
+        ps_len = tail[-1]
+        self.postscript = proto.parse_postscript(tail[-1 - ps_len : -1])
+        need = self.postscript.footer_length + ps_len + 1
+        if need > len(tail):
+            tail = self._read(self._len - need, need)
+        f_end = len(tail) - 1 - ps_len
+        footer_raw = tail[f_end - self.postscript.footer_length : f_end]
         self.footer = proto.parse_footer(decompress_stream(footer_raw, self.postscript.compression))
 
     def _read(self, offset: int, length: int) -> bytes:
-        return self._buf[offset : offset + length]
+        self._f.seek(offset)
+        return self._f.read(length)
 
     def schema(self) -> pa.Schema:
         """ORC type tree -> Arrow schema (ref: file_format.rs:50-52)."""
@@ -317,24 +336,54 @@ class OrcReader:
             return pa.struct([pa.field(nm, self._arrow_type(sc)) for nm, sc in zip(t.field_names, t.subtypes)])
         raise NotImplementedError(f"type kind {k}")
 
-    def read(self, columns: list[str] | None = None) -> pa.Table:
-        """Decode all stripes -> Arrow table. ``columns`` = projection
-        pushdown by name (ref: physical_exec.rs:69-78 name->index mask)."""
+    def iter_stripes(
+        self,
+        columns: list[str] | None = None,
+        stripes: list[int] | None = None,
+        batch_rows: int | None = None,
+    ):
+        """STREAM record batches stripe-by-stripe — the reference's batched
+        scan shape (file_source.rs:31,44 streams 1024-row batches; a whole-
+        file materialization is an OOM magnet at real file sizes).
+
+        ``stripes``: indices into footer.stripes (for byte-range splits —
+        physical_exec.rs:79-82 `with_file_byte_range`); None = all.
+        ``batch_rows``: slice each stripe's batch to at most this many rows.
+        Each stripe's bytes are fetched with one ranged read and released
+        before the next stripe is touched.
+        """
         root = self.footer.types[0]
         names = root.field_names
-        if columns is None:
-            sel = list(range(len(names)))
-        else:
-            sel = [names.index(c) for c in columns]
-        batches = []
-        for info in self.footer.stripes:
+        sel = list(range(len(names))) if columns is None else [names.index(c) for c in columns]
+        out_names = [names[i] for i in sel]
+        idxs = range(len(self.footer.stripes)) if stripes is None else stripes
+        for si in idxs:
+            info = self.footer.stripes[si]
             sr = _StripeReader(self, info)
             arrays = [sr.decode_column(root.subtypes[i], info.number_of_rows) for i in sel]
-            batches.append(pa.RecordBatch.from_arrays(arrays, [names[i] for i in sel]))
+            batch = pa.RecordBatch.from_arrays(arrays, out_names)
+            del sr, arrays
+            if batch_rows is None or batch.num_rows <= batch_rows:
+                yield batch
+            else:
+                for pos in range(0, batch.num_rows, batch_rows):
+                    yield batch.slice(pos, min(batch_rows, batch.num_rows - pos))
+
+    def read(
+        self,
+        columns: list[str] | None = None,
+        stripes: list[int] | None = None,
+    ) -> pa.Table:
+        """Decode stripes -> Arrow table. ``columns`` = projection pushdown
+        by name (ref: physical_exec.rs:69-78 name->index mask)."""
+        batches = list(self.iter_stripes(columns, stripes))
+        root = self.footer.types[0]
+        names = root.field_names
+        sel = list(range(len(names))) if columns is None else [names.index(c) for c in columns]
+        schema = pa.schema([pa.field(names[i], self._arrow_type(root.subtypes[i])) for i in sel])
         if not batches:
-            schema = pa.schema([pa.field(names[i], self._arrow_type(root.subtypes[i])) for i in sel])
             return pa.Table.from_batches([], schema=schema)
-        return pa.Table.from_batches(batches)
+        return pa.Table.from_batches(batches, schema=schema)
 
 
 def read_orc(path: str, columns: list[str] | None = None) -> pa.Table:

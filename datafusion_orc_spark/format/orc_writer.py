@@ -8,14 +8,20 @@ read back bit-identically by the Apache ORC C++ reader (pyarrow.orc) —
 i.e. by the same implementation family the reference delegates decoding
 to (orc-rust mirrors the same spec).
 
-Scope: uncompressed (postscript compression NONE), one type tree of
-boolean/int8/16/32/64/float/double/string/binary/list, nullable via
-PRESENT streams, multiple stripes, rowIndexStride=0 (no ROW_INDEX
+Scope: NONE/SNAPPY/ZLIB/LZ4/ZSTD compression (every stream, stripe
+footer and file footer chunk-framed with the 3-byte (len<<1)|isOriginal
+header — the corpus the reference ships is SNAPPY), DICTIONARY_V2 with
+SORTED symbol tables for strings (ORC writer heuristic: dictionary when
+distinct/total <= 0.8, mirroring orc.dictionary.key.threshold), one type
+tree of boolean/int8/16/32/64/float/double/string/binary/list, nullable
+via PRESENT streams, multiple stripes, rowIndexStride=0 (no ROW_INDEX
 streams). ORC requires a ROW_INDEX per column when rowIndexStride>0;
 setting it to 0 keeps readers happy without index streams.
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -26,6 +32,48 @@ from datafusion_orc_spark.codecs.rlev2 import rle_v2_encode
 from datafusion_orc_spark.format import orc_proto as proto
 
 MAGIC = b"ORC"
+
+# postscript CompressionKind values (ORC v1 spec)
+_COMPRESSION_KINDS = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
+
+# ORC's default dictionary heuristic (orc.dictionary.key.threshold=0.8):
+# dictionary-encode a string column when distinct/total <= this ratio
+DICT_KEY_THRESHOLD = 0.8
+
+
+def _compress_chunk(chunk: bytes, kind: int) -> bytes:
+    if kind == 1:  # ZLIB = raw deflate
+        co = zlib.compressobj(level=6, wbits=-15)
+        return co.compress(chunk) + co.flush()
+    if kind == 2:  # SNAPPY
+        return pa.Codec("snappy").compress(chunk).to_pybytes()
+    if kind == 4:  # LZ4 (block format)
+        return pa.Codec("lz4_raw").compress(chunk).to_pybytes()
+    if kind == 5:  # ZSTD (framed)
+        return pa.Codec("zstd").compress(chunk).to_pybytes()
+    raise NotImplementedError(f"compression kind {kind}")
+
+
+def compress_stream(raw: bytes, kind: int, block: int = 262144) -> bytes:
+    """Chunk-frame `raw` for an ORC compressed stream: per <=block chunk,
+    3-byte LE header (len << 1) | isOriginal, falling back to the
+    original bytes when compression does not shrink the chunk (spec
+    behavior; format/orc_reader.py decompress_stream is the inverse)."""
+    if kind == 0 or not raw:
+        return raw
+    out = bytearray()
+    for pos in range(0, len(raw), block):
+        chunk = raw[pos : pos + block]
+        comp = _compress_chunk(chunk, kind)
+        if len(comp) >= len(chunk):
+            hdr = (len(chunk) << 1) | 1
+            body = chunk
+        else:
+            hdr = len(comp) << 1
+            body = comp
+        out += bytes((hdr & 0xFF, (hdr >> 8) & 0xFF, (hdr >> 16) & 0xFF))
+        out += body
+    return bytes(out)
 
 
 # ------------------------------------------------------------ protobuf write
@@ -73,9 +121,32 @@ _PRIM_KINDS = {
 
 # ------------------------------------------------------------ column encode
 
-def _encode_orc_column(arr: pa.Array, typ: pa.DataType) -> tuple[list[tuple[int, bytes]], int, list]:
+def _dictionary_streams(dense: pa.Array) -> tuple[list[tuple[int, bytes]], int] | None:
+    """DICTIONARY_V2 streams with a SORTED symbol table, or None when the
+    column does not pass the dictionary heuristic (distinct/total > 0.8)."""
+    n_vals = len(dense)
+    if n_vals == 0:
+        return None
+    d = dense.combine_chunks().dictionary_encode() if isinstance(dense, pa.ChunkedArray) else dense.dictionary_encode()
+    vals = d.dictionary.cast(pa.large_binary()).to_pylist()
+    if len(vals) > DICT_KEY_THRESHOLD * n_vals:
+        return None
+    order = np.argsort(np.array(vals, dtype=object), kind="stable")
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    sorted_vals = [vals[i] for i in order]
+    streams = [
+        (proto.S_DATA, rle_v2_encode(rank[idx], signed=False)),
+        (proto.S_DICTIONARY_DATA, b"".join(sorted_vals)),
+        (proto.S_LENGTH, rle_v2_encode(np.array([len(v) for v in sorted_vals], dtype=np.int64), signed=False)),
+    ]
+    return streams, len(sorted_vals)
+
+
+def _encode_orc_column(arr: pa.Array, typ: pa.DataType) -> tuple[list[tuple[int, bytes]], int, int, list]:
     """-> (streams [(kind, bytes)...] for this column, encoding kind,
-    child (arr, typ) pairs to encode next)."""
+    dictionary size, child (arr, typ) pairs to encode next)."""
     n = len(arr)
     streams: list[tuple[int, bytes]] = []
     if arr.null_count:
@@ -86,6 +157,7 @@ def _encode_orc_column(arr: pa.Array, typ: pa.DataType) -> tuple[list[tuple[int,
         dense = arr
     children: list = []
     enc = proto.E_DIRECT_V2
+    dict_size = 0
 
     if typ == pa.bool_():
         flags = dense.to_numpy(zero_copy_only=False).astype(bool)
@@ -101,24 +173,42 @@ def _encode_orc_column(arr: pa.Array, typ: pa.DataType) -> tuple[list[tuple[int,
         streams.append((proto.S_DATA, dense.to_numpy(zero_copy_only=False).tobytes()))
         enc = proto.E_DIRECT
     elif typ in (pa.string(), pa.binary()):
-        lb = dense.cast(pa.large_binary())
-        bufs = lb.buffers()
-        off = np.frombuffer(bufs[1], dtype=np.int64, count=len(lb) + 1, offset=lb.offset * 8)
-        blob = bufs[2].to_pybytes()[off[0] : off[-1]] if len(lb) else b""
-        lengths = np.diff(off)
-        streams.append((proto.S_DATA, blob))
-        streams.append((proto.S_LENGTH, rle_v2_encode(lengths.astype(np.int64), signed=False)))
+        dict_streams = _dictionary_streams(dense) if typ == pa.string() else None
+        if dict_streams is not None:
+            ds, dict_size = dict_streams
+            streams.extend(ds)
+            enc = proto.E_DICTIONARY_V2
+        else:
+            lb = dense.cast(pa.large_binary())
+            bufs = lb.buffers()
+            off = np.frombuffer(bufs[1], dtype=np.int64, count=len(lb) + 1, offset=lb.offset * 8)
+            blob = bufs[2].to_pybytes()[off[0] : off[-1]] if len(lb) else b""
+            lengths = np.diff(off)
+            streams.append((proto.S_DATA, blob))
+            streams.append((proto.S_LENGTH, rle_v2_encode(lengths.astype(np.int64), signed=False)))
     elif pa.types.is_list(typ):
         lengths = pc.list_value_length(dense).to_numpy(zero_copy_only=False).astype(np.int64)
         streams.append((proto.S_LENGTH, rle_v2_encode(lengths, signed=False)))
         children.append((pc.list_flatten(dense), typ.value_type))
     else:
         raise NotImplementedError(f"orc_writer: type {typ}")
-    return streams, enc, children
+    return streams, enc, dict_size, children
 
 
-def write_orc(table: pa.Table, path: str, stripe_rows: int = 65536) -> None:
-    """Write an Arrow table as an uncompressed ORC v1 file."""
+def write_orc(
+    table: pa.Table,
+    path: str,
+    stripe_rows: int = 65536,
+    compression: str = "none",
+    block_size: int = 262144,
+) -> None:
+    """Write an Arrow table as an ORC v1 file.
+
+    ``compression``: none|snappy|zlib|lz4|zstd — applied per-stream (and
+    to stripe/file footers) in <=block_size chunks, matching the corpus
+    the reference ships (SNAPPY, block 262144).
+    """
+    comp = _COMPRESSION_KINDS[compression.lower()]
     table = table.combine_chunks()
     # pre-order ORC type ids, root struct = 0
     types, _arrow_types = _reorder_root_first(table.schema)
@@ -134,19 +224,19 @@ def write_orc(table: pa.Table, path: str, stripe_rows: int = 65536) -> None:
         stripe_offset = len(out)
         # encode columns in ORC id order (root has no streams)
         col_arrays: dict[int, tuple[pa.Array, pa.DataType]] = {}
-        root = 0
         # map ORC ids -> arrays via recursive walk identical to the tree build
         _assign_arrays(table.schema, batch_tbl, col_arrays)
         stream_bytes: list[bytes] = []
         stream_meta: list[tuple[int, int, int]] = []  # (column, kind, length)
-        encodings: list[int] = [proto.E_DIRECT]  # root struct
+        encodings: list[tuple[int, int]] = [(proto.E_DIRECT, 0)]  # root struct
         for col_id in sorted(col_arrays):
             arr, typ = col_arrays[col_id]
-            streams, enc, _children = _encode_orc_column(arr, typ)
-            encodings.append(enc)
+            streams, enc, dict_size, _children = _encode_orc_column(arr, typ)
+            encodings.append((enc, dict_size))
             for kind, data in streams:
-                stream_meta.append((col_id, kind, len(data)))
-                stream_bytes.append(data)
+                framed = compress_stream(data, comp, block_size)
+                stream_meta.append((col_id, kind, len(framed)))
+                stream_bytes.append(framed)
         data_len = sum(len(b) for b in stream_bytes)
         for b in stream_bytes:
             out += b
@@ -154,8 +244,12 @@ def write_orc(table: pa.Table, path: str, stripe_rows: int = 65536) -> None:
         sf = b""
         for col, kind, length in stream_meta:
             sf += _field_bytes(1, _field_varint(1, kind) + _field_varint(2, col) + _field_varint(3, length))
-        for enc in encodings:
-            sf += _field_bytes(2, _field_varint(1, enc))
+        for enc, dict_size in encodings:
+            body = _field_varint(1, enc)
+            if dict_size:
+                body += _field_varint(2, dict_size)
+            sf += _field_bytes(2, body)
+        sf = compress_stream(sf, comp, block_size)
         out += sf
         si = (
             _field_varint(1, stripe_offset)
@@ -176,11 +270,12 @@ def write_orc(table: pa.Table, path: str, stripe_rows: int = 65536) -> None:
         footer += _field_bytes(4, tb)
     footer += _field_varint(6, total_rows)
     footer += _field_varint(8, 0)  # rowIndexStride=0: no ROW_INDEX streams
+    footer = compress_stream(footer, comp, block_size)
     out += footer
     ps = (
         _field_varint(1, len(footer))
-        + _field_varint(2, 0)  # compression NONE
-        + _field_varint(3, 262144)
+        + _field_varint(2, comp)
+        + _field_varint(3, block_size)
         + _packed_varints(4, [0, 12])
         + _field_varint(5, 0)  # metadata length
         + _field_bytes(8000, MAGIC)

@@ -120,6 +120,55 @@ def _blob_batch(stripe_id: int, part_id: int, blobs: dict[str, bytes], stats: li
     )
 
 
+def _encode_stream(
+    batches: Iterator[pa.RecordBatch],
+    stripe_rows: int,
+    part_id: int,
+    job_token: int,
+    seq_start: int = 0,
+) -> Iterator[pa.RecordBatch]:
+    """Shared per-task encode loop: accumulate Arrow batches into stripes
+    of ``stripe_rows`` rows, encode each column with the E9-selected
+    codec, emit one blob row per (stripe, column)."""
+    seq = seq_start
+    buf: list[pa.RecordBatch] = []
+    buffered = 0
+
+    def flush(final: bool) -> Iterator[pa.RecordBatch]:
+        nonlocal seq, buf, buffered
+        if not buf:
+            return
+        table = pa.Table.from_batches(buf).combine_chunks()
+        pos = 0
+        # emit full stripes; keep a partial tail buffered unless final
+        while table.num_rows - pos >= stripe_rows or (final and pos < table.num_rows):
+            take = min(stripe_rows, table.num_rows - pos)
+            stripe = table.slice(pos, take).to_batches()[0]
+            blobs, stats = encode_stripe(stripe)
+            if part_id >= (1 << 16) or seq >= (1 << 24):
+                raise ValueError(
+                    f"stripe_id packing overflow: part_id={part_id} (max 65535), "
+                    f"seq={seq} (max {(1 << 24) - 1}) — widen the packing before "
+                    f"running with >65536 partitions"
+                )
+            stripe_id = (job_token << 40) | (part_id << 24) | seq
+            seq += 1
+            pos += take
+            yield _blob_batch(stripe_id, part_id, blobs, stats)
+        tail = table.slice(pos)
+        buf = [b for b in tail.to_batches() if b.num_rows] if tail.num_rows else []
+        buffered = tail.num_rows
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        buf.append(batch)
+        buffered += batch.num_rows
+        if buffered >= stripe_rows:
+            yield from flush(final=False)
+    yield from flush(final=True)
+
+
 def encode_table(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS, job_token: int | None = None) -> DataFrame:
     """DataFrame -> blob table (one row per stripe × column).
 
@@ -137,46 +186,103 @@ def encode_table(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS, job_toke
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
-        part_id = TaskContext.get().partitionId()
-        seq = 0
-        buf: list[pa.RecordBatch] = []
-        buffered = 0
-
-        def flush(final: bool) -> Iterator[pa.RecordBatch]:
-            nonlocal seq, buf, buffered
-            if not buf:
-                return
-            table = pa.Table.from_batches(buf).combine_chunks()
-            pos = 0
-            # emit full stripes; keep a partial tail buffered unless final
-            while table.num_rows - pos >= stripe_rows or (final and pos < table.num_rows):
-                take = min(stripe_rows, table.num_rows - pos)
-                stripe = table.slice(pos, take).to_batches()[0]
-                blobs, stats = encode_stripe(stripe)
-                if part_id >= (1 << 16) or seq >= (1 << 24):
-                    raise ValueError(
-                        f"stripe_id packing overflow: part_id={part_id} (max 65535), "
-                        f"seq={seq} (max {(1 << 24) - 1}) — widen the packing before "
-                        f"running with >65536 partitions"
-                    )
-                stripe_id = (job_token << 40) | (part_id << 24) | seq
-                seq += 1
-                pos += take
-                yield _blob_batch(stripe_id, part_id, blobs, stats)
-            tail = table.slice(pos)
-            buf = [b for b in tail.to_batches() if b.num_rows] if tail.num_rows else []
-            buffered = tail.num_rows
-
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            buf.append(batch)
-            buffered += batch.num_rows
-            if buffered >= stripe_rows:
-                yield from flush(final=False)
-        yield from flush(final=True)
+        yield from _encode_stream(batches, stripe_rows, TaskContext.get().partitionId(), job_token)
 
     return df.mapInArrow(encode_fn, BLOB_SCHEMA)
+
+
+def encode_files(
+    spark,
+    path_or_glob: str,
+    stripe_rows: int = DEFAULT_STRIPE_ROWS,
+    job_token: int | None = None,
+    columns: list[str] | None = None,
+    output_dir: str | None = None,
+    row_groups_per_split: int = 1,
+) -> DataFrame:
+    """Parquet files -> blob table WITHOUT moving row data through the JVM.
+
+    The 100-TB encode path: the driver plans one task per parquet
+    row-group range (metadata-only reads); each python worker scans its
+    row groups directly with pyarrow (C++ reader, zero-copy into the
+    numpy kernels) and — when ``output_dir`` is given — writes its blob
+    rows as a parquet part file from inside the task, emitting only the
+    tiny stats rows. Compare encode_table, which encodes an arbitrary
+    DataFrame but pays JVM->Python Arrow IPC for every row; here the
+    token arrays never cross a process boundary uncompressed. This
+    mirrors the reference's architecture (scan + decode live in one
+    native process, physical_exec.rs:57-91) while keeping Spark as the
+    scheduler/scale-out layer.
+    """
+    import glob as _glob
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    if job_token is None:
+        job_token = _uuid.uuid4().int & 0xFFFF
+    job_token &= 0xFFFF
+
+    if isinstance(path_or_glob, (list, tuple)):
+        paths = sorted(path_or_glob)
+    elif any(c in path_or_glob for c in "*?["):
+        paths = sorted(_glob.glob(path_or_glob))
+    elif _os.path.isdir(path_or_glob):
+        paths = sorted(_glob.glob(f"{path_or_glob}/*.parquet"))
+    else:
+        paths = [path_or_glob]
+    if not paths:
+        raise FileNotFoundError(path_or_glob)
+
+    splits: list[tuple[str, int, int]] = []
+    for p in paths:
+        n_rg = _pq.ParquetFile(p).metadata.num_row_groups
+        for start in range(0, n_rg, row_groups_per_split):
+            splits.append((p, start, min(row_groups_per_split, n_rg - start)))
+
+    sdf = spark.createDataFrame(
+        splits, "path string, rg_start int, n_rg int"
+    ).repartition(len(splits))
+    _ensure_workers_can_import(sdf)
+    stats_schema = StructType([f for f in BLOB_SCHEMA.fields if f.name != "data"])
+
+    def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import os
+
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        part_id = TaskContext.get().partitionId()
+        k = 0
+        for b in batches:
+            for path, rg_start, n_rg in zip(
+                b.column(0).to_pylist(), b.column(1).to_pylist(), b.column(2).to_pylist()
+            ):
+                pf = pq.ParquetFile(path)
+                src = pf.iter_batches(
+                    batch_size=stripe_rows,
+                    row_groups=list(range(rg_start, rg_start + n_rg)),
+                    columns=columns,
+                )
+                # distinct seq range per split within this task (k < 256,
+                # 65536 stripes per split) so stripe_ids never collide
+                blob_batches = _encode_stream(
+                    src, stripe_rows, part_id, job_token, seq_start=k << 16
+                )
+                if output_dir is None:
+                    yield from blob_batches
+                else:
+                    out = pa.Table.from_batches(list(blob_batches), schema=_BLOB_PA_SCHEMA)
+                    os.makedirs(output_dir, exist_ok=True)
+                    name = f"part-{part_id:05d}-{k:03d}.parquet"
+                    pq.write_table(out, f"{output_dir}/.{name}.tmp", row_group_size=1 << 20)
+                    os.replace(f"{output_dir}/.{name}.tmp", f"{output_dir}/{name}")
+                    yield from out.drop_columns("data").to_batches()
+                k += 1
+
+    return sdf.mapInArrow(enc, BLOB_SCHEMA if output_dir is None else stats_schema)
 
 
 def decode_table(

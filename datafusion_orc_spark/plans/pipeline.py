@@ -128,6 +128,82 @@ def encode_job(
     return manifest
 
 
+def encode_files_job(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    files_per_chunk: int = 32,
+    stripe_rows: int = DEFAULT_STRIPE_ROWS,
+    input_snapshot_id: str | None = None,
+) -> dict:
+    """File-granular resumable encode: the 100-TB fast path.
+
+    Same manifest/checkpoint semantics as :func:`encode_job`, but chunks
+    are groups of input parquet FILES and each chunk runs through
+    ``encode_files`` — python workers scan row groups directly with
+    pyarrow and write blob part files from inside the task, so row data
+    never crosses the JVM. Skew handling is structural here: tasks are
+    row-group ranges (uniform bytes) rather than key-hash partitions, so
+    a skewed ``source`` key cannot unbalance them; use :func:`encode_job`
+    when the input is an arbitrary DataFrame instead of files.
+    """
+    import glob as _glob
+
+    from datafusion_orc_spark.operators.encode import encode_files
+
+    paths = sorted(_glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not paths:
+        raise FileNotFoundError(input_dir)
+    chunks = [paths[i : i + files_per_chunk] for i in range(0, len(paths), files_per_chunk)]
+
+    os.makedirs(output_dir, exist_ok=True)
+    manifest = read_manifest(output_dir)
+    if manifest["snapshot_id"] is None:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        import pyarrow.parquet as pq
+
+        manifest["snapshot_id"] = input_snapshot_id or uuid.uuid4().hex
+        manifest["n_chunks"] = len(chunks)
+        manifest["schema_json"] = from_arrow_schema(pq.read_schema(paths[0])).json()
+        _write_manifest_atomic(output_dir, manifest)
+    assert manifest.get("n_chunks") == len(chunks), "chunking changed across resume"
+
+    for chunk, chunk_paths in enumerate(chunks):
+        key = str(chunk)
+        if key in manifest["chunks"]:
+            continue  # resume: already committed
+        t0 = time.time()
+        job_token = (int(manifest["snapshot_id"][:8], 16) ^ chunk) & 0xFFFF if all(
+            c in "0123456789abcdef" for c in manifest["snapshot_id"][:8]
+        ) else chunk
+        chunk_dir = os.path.join(output_dir, f"chunk={chunk}")
+        stats = encode_files(
+            spark, chunk_paths, stripe_rows=stripe_rows,
+            job_token=job_token, output_dir=chunk_dir,
+        )
+        agg = stats.agg(
+            F.count(F.lit(1)).alias("blob_rows"),
+            F.countDistinct("stripe_id").alias("stripes"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.sum(F.col("crc32").cast("decimal(38,0)")).alias("crc_sum"),
+        ).collect()[0]
+        manifest["chunks"][key] = {
+            "input_snapshot_id": manifest["snapshot_id"],
+            "input_files": chunk_paths,
+            "blob_rows": agg["blob_rows"],
+            "stripes": agg["stripes"],
+            "raw_bytes": int(agg["raw_bytes"] or 0),
+            "enc_bytes": int(agg["enc_bytes"] or 0),
+            "crc_sum": str(agg["crc_sum"]),
+            "wall_sec": round(time.time() - t0, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        _write_manifest_atomic(output_dir, manifest)
+    return manifest
+
+
 def read_encoded(spark: SparkSession, output_dir: str) -> DataFrame:
     """Blob table across all committed chunks (metadata-only planning —
     the EP3 analogue, SURVEY.md §3)."""

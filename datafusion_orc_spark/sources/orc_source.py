@@ -3,9 +3,17 @@
 This is the reference's role re-expressed as a Spark operator: the
 reference plugs a per-file ORC->Arrow opener into DataFusion's scan
 (`OrcOpener::open`, src/physical_exec.rs:57-91; one `FileOpenFuture`
-per `PartitionedFile`); here each Spark task opens its file(s) with
-``format.orc_reader.OrcReader`` and streams Arrow record batches out of
-``mapInArrow`` — file-level parallelism, no shuffle.
+per `PartitionedFile`, byte-range splits via `with_file_byte_range`,
+physical_exec.rs:79-82); here the driver reads only file TAILS (schema
++ stripe directory), plans one Spark task per stripe-range, and each
+task streams per-stripe Arrow record batches out of ``mapInArrow`` —
+stripe-level parallelism, ranged reads, no whole-file materialization,
+no shuffle.
+
+Schema handling mirrors `file_format.rs:90-103` (`Schema::try_merge`
+over path-sorted files): the merged schema is the field union in
+path-sorted first-seen order; a same-name/different-type conflict is an
+error; files missing a merged field yield nulls for it.
 """
 
 from __future__ import annotations
@@ -17,41 +25,122 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
 
+# split planning: pack contiguous stripes of one file into a task until
+# the task holds ~this many (compressed) bytes — the Spark-side analogue
+# of spark.sql.files.maxPartitionBytes for our scan
+DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+DEFAULT_BATCH_ROWS = 8192
+
+
+def merge_schemas(schemas: list[pa.Schema]) -> pa.Schema:
+    """Field-union merge in first-seen order (ref file_format.rs:90-103)."""
+    fields: dict[str, pa.Field] = {}
+    for sch in schemas:
+        for f in sch:
+            prev = fields.get(f.name)
+            if prev is None:
+                fields[f.name] = f
+            elif prev.type != f.type:
+                raise TypeError(
+                    f"schema merge conflict on column '{f.name}': "
+                    f"{prev.type} vs {f.type}"
+                )
+    return pa.schema(list(fields.values()))
+
+
+def plan_splits(paths: list[str], split_bytes: int = DEFAULT_SPLIT_BYTES, opener=None):
+    """Tail-read every file (metadata only), return (splits, merged_schema).
+
+    Each split is (path, first_stripe, n_stripes): contiguous stripes of
+    one file packed up to ``split_bytes`` of stripe data — so one huge
+    multi-stripe file fans out over many tasks instead of one straggler.
+    """
+    from datafusion_orc_spark.format.orc_reader import OrcReader
+
+    schemas = []
+    splits: list[tuple[str, int, int]] = []
+    for p in sorted(paths):
+        r = OrcReader(p, opener=opener)
+        schemas.append(r.schema())
+        start, acc = 0, 0
+        stripes = r.footer.stripes
+        for i, info in enumerate(stripes):
+            acc += info.index_length + info.data_length + info.footer_length
+            if acc >= split_bytes:
+                splits.append((p, start, i - start + 1))
+                start, acc = i + 1, 0
+        if start < len(stripes):
+            splits.append((p, start, len(stripes) - start))
+        if not stripes:
+            splits.append((p, 0, 0))  # schema-only file: contributes 0 rows
+    return splits, merge_schemas(schemas)
+
 
 def read_orc_distributed(
     spark: SparkSession,
     path_or_glob: str,
     columns: list[str] | None = None,
+    split_bytes: int = DEFAULT_SPLIT_BYTES,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    opener=None,
 ) -> DataFrame:
-    """Scan ORC files with OUR reader, one task per file.
+    """Scan ORC files with OUR reader, one task per stripe-range.
 
-    Schema inference touches only the first file's tail (the reference's
-    EP2 single-path schema behavior, lib.rs:148-150). ``columns`` is the
-    projection pushed into the per-file read (name -> ORC column mask,
-    the physical_exec.rs:69-78 analogue).
+    ``columns`` is the projection pushed into the per-stripe decode
+    (name -> ORC column mask, the physical_exec.rs:69-78 analogue);
+    ``batch_rows`` bounds each streamed Arrow batch (file_source.rs:31).
+    ``opener``: optional picklable ``path -> seekable binary file``
+    callable — the ObjectStoreReader seam (object_store_reader.rs:39-59):
+    pass e.g. a top-level ``lambda``-free fsspec wrapper to scan s3://hdfs://
+    paths with ranged GETs; None = local filesystem.
     """
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    from datafusion_orc_spark.format.orc_reader import OrcReader
     from datafusion_orc_spark.operators.encode import _ensure_workers_can_import
 
-    paths = sorted(_glob.glob(path_or_glob)) if any(c in path_or_glob for c in "*?[") else [path_or_glob]
+    paths = (
+        sorted(_glob.glob(path_or_glob))
+        if opener is None and any(c in path_or_glob for c in "*?[")
+        else [path_or_glob]
+    )
     if not paths:
         raise FileNotFoundError(path_or_glob)
-    arrow_schema = OrcReader(paths[0]).schema()
+    splits, merged = plan_splits(paths, split_bytes, opener)
     if columns is not None:
-        arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
-    spark_schema = from_arrow_schema(arrow_schema)
+        merged = pa.schema([merged.field(c) for c in columns])
+    spark_schema = from_arrow_schema(merged)
+    out_names = list(merged.names)
 
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string").repartition(len(paths))
-    _ensure_workers_can_import(pdf)
+    sdf = spark.createDataFrame(
+        [(p, s, n) for p, s, n in splits],
+        "path string, first_stripe int, n_stripes int",
+    ).repartition(len(splits))
+    _ensure_workers_can_import(sdf)
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from datafusion_orc_spark.format.orc_reader import read_orc
+        from datafusion_orc_spark.format.orc_reader import OrcReader
 
         for b in batches:
-            for p in b.column(0).to_pylist():
-                table = read_orc(p, columns=columns)
-                yield from table.to_batches()
+            for path, first, cnt in zip(
+                b.column(0).to_pylist(), b.column(1).to_pylist(), b.column(2).to_pylist()
+            ):
+                if cnt == 0:
+                    continue
+                r = OrcReader(path, opener=opener)
+                have = set(r.schema().names)
+                local_cols = [c for c in out_names if c in have]
+                for rb in r.iter_stripes(
+                    columns=local_cols,
+                    stripes=list(range(first, first + cnt)),
+                    batch_rows=batch_rows,
+                ):
+                    # pad fields this file lacks with nulls, order to merged
+                    arrays = []
+                    for name in out_names:
+                        if name in have:
+                            arrays.append(rb.column(rb.schema.get_field_index(name)))
+                        else:
+                            arrays.append(pa.nulls(rb.num_rows, merged.field(name).type))
+                    yield pa.RecordBatch.from_arrays(arrays, schema=merged)
 
-    return pdf.mapInArrow(scan, spark_schema)
+    return sdf.mapInArrow(scan, spark_schema)

@@ -28,27 +28,44 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--partitions-per-chunk", type=int, default=32)
     p.add_argument("--stripe-rows", type=int, default=32768)
     p.add_argument("--snapshot-id", default=None, help="input snapshot id for lineage")
+    p.add_argument(
+        "--mode", choices=("files", "dataframe"), default="files",
+        help="files = fast path (python workers scan parquet row groups "
+        "directly, no JVM data path; default); dataframe = general path "
+        "(arbitrary DataFrame input, salted repartition for skew)",
+    )
+    p.add_argument("--files-per-chunk", type=int, default=32)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    from datafusion_orc_spark.plans.pipeline import encode_job
+    from datafusion_orc_spark.plans.pipeline import encode_files_job, encode_job
 
     spark = (
         SparkSession.builder.appName("datafusion-orc-spark-encode")
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
-    df = spark.read.parquet(args.input)
-    manifest = encode_job(
-        spark,
-        df,
-        args.output,
-        n_chunks=args.chunks,
-        partitions_per_chunk=args.partitions_per_chunk,
-        stripe_rows=args.stripe_rows,
-        input_snapshot_id=args.snapshot_id,
-    )
+    if args.mode == "files":
+        manifest = encode_files_job(
+            spark,
+            args.input,
+            args.output,
+            files_per_chunk=args.files_per_chunk,
+            stripe_rows=args.stripe_rows,
+            input_snapshot_id=args.snapshot_id,
+        )
+    else:
+        df = spark.read.parquet(args.input)
+        manifest = encode_job(
+            spark,
+            df,
+            args.output,
+            n_chunks=args.chunks,
+            partitions_per_chunk=args.partitions_per_chunk,
+            stripe_rows=args.stripe_rows,
+            input_snapshot_id=args.snapshot_id,
+        )
     json.dump(manifest, sys.stdout, indent=2)
     spark.stop()
 

