@@ -67,6 +67,10 @@ CODECS = {
     # PATCHED_BASE on Zipf-skewed token distributions (>31 outliers/512)
     "int_pfor": 14,
     "arr_int_pfor": 15,
+    # RUN+FoR (codecs/runfor.py): long runs as side lists + FoR/PFOR
+    # literals — smaller AND ~5x faster than RLEv2 on token streams
+    "int_runfor": 16,
+    "arr_int_runfor": 17,
 }
 CODEC_NAMES = {v: k for k, v in CODECS.items()}
 
@@ -74,7 +78,8 @@ CODEC_NAMES = {v: k for k, v in CODECS.items()}
 (
     K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_DICT_LENGTH,
     K_FSST_TABLE, K_META, K_EXC_POS, K_EXC_HIGH,
-) = range(9)
+    K_RUN_POS, K_RUN_LEN, K_RUN_VAL,
+) = range(12)
 
 
 def _assemble(codec: str, n_rows: int, n_nulls: int, streams: list[tuple[int, bytes]]) -> bytes:
@@ -150,27 +155,38 @@ def _decode_for_bp(meta: bytes, data: bytes, n: int) -> np.ndarray:
     return bit_unpack(data, width, n).view(np.int64) + int(base[0])
 
 
+# runfor stream-key -> stripe stream-kind mapping
+_RUNFOR_KINDS = {
+    0: K_META, 1: K_DATA, 2: K_RUN_POS, 3: K_RUN_LEN, 4: K_RUN_VAL,
+    5: K_EXC_POS, 6: K_EXC_HIGH,
+}
+_RUNFOR_KEYS = {v: k for k, v in _RUNFOR_KINDS.items()}
+
+
 def _int_data_streams(vals: np.ndarray, codec_prefix: str = "") -> tuple[str, list[tuple[int, bytes]]]:
+    from datafusion_orc_spark.codecs.runfor import runfor_encode, runfor_size
+
     codec, stats = choose_int_codec(vals)
     if codec == "int_for_bp":
         meta, data = _encode_for_bp(vals)
         return codec_prefix + "int_for_bp", [(K_META, meta), (K_DATA, data)]
     unsigned = bool(stats["n"]) and stats["min"] >= 0
+    if stats["monotonic"]:
+        # globally monotonic: RLEv2 DELTA runs are unbeatable
+        rle_bytes = rle_v2_encode(vals, signed=not unsigned)
+        name = "int_rle2u" if unsigned else "int_rle2"
+        return codec_prefix + name, [(K_DATA, rle_bytes)]
+    rf = runfor_encode(vals)
+    rf_streams = [(_RUNFOR_KINDS[k], b) for k, b in sorted(rf.items())]
+    if stats["n"] > (1 << 20):
+        # big arrays (token streams): runfor is both smaller (runs cost
+        # ~0 bits, literals pay exact FoR width + PFOR exceptions, no
+        # per-512 chunk headers) and one whole-array pass — skip the
+        # O(n) RLEv2 trial encode entirely
+        return codec_prefix + "int_runfor", rf_streams
     rle_bytes = rle_v2_encode(vals, signed=not unsigned)
-    # tail-heavy distributions (Zipf tokens): PFOR's unlimited exception
-    # list can beat RLEv2 (whose PATCHED_BASE caps at 31 patches/512)
-    if stats["n"] and not stats["monotonic"] and stats["w90_for"] + 1 < stats["w_for"]:
-        from datafusion_orc_spark.codecs.pfor import pfor_encode
-
-        p = pfor_encode(vals)
-        if p is not None:
-            meta, data, exc_pos, exc_high = p
-            total = len(meta) + len(data) + len(exc_pos) + len(exc_high)
-            if total < 0.95 * len(rle_bytes):
-                return codec_prefix + "int_pfor", [
-                    (K_META, meta), (K_DATA, data),
-                    (K_EXC_POS, exc_pos), (K_EXC_HIGH, exc_high),
-                ]
+    if runfor_size(rf) < 0.95 * len(rle_bytes):
+        return codec_prefix + "int_runfor", rf_streams
     if unsigned:
         return codec_prefix + "int_rle2u", [(K_DATA, rle_bytes)]
     return codec_prefix + "int_rle2", [(K_DATA, rle_bytes)]
@@ -184,6 +200,12 @@ def _int_data_decode(codec: str, streams: dict[int, bytes], n: int) -> np.ndarra
 
         return pfor_decode(
             streams[K_META], streams[K_DATA], streams[K_EXC_POS], streams[K_EXC_HIGH], n
+        )
+    if codec.endswith("int_runfor"):
+        from datafusion_orc_spark.codecs.runfor import runfor_decode
+
+        return runfor_decode(
+            {_RUNFOR_KEYS[k]: b for k, b in streams.items() if k in _RUNFOR_KEYS}, n
         )
     return rle_v2_decode(streams[K_DATA], n, signed=not codec.endswith("int_rle2u"))
 
@@ -317,7 +339,7 @@ def decode_column(blob: bytes, typ: pa.DataType) -> pa.Array:
             buf = pa.py_buffer(np.ascontiguousarray(full).tobytes())
         return pa.Array.from_buffers(out_typ, n, [_validity_buffer(valid), buf])
 
-    if codec in ("int_rle2", "int_rle2u", "int_for_bp", "int_pfor"):
+    if codec in ("int_rle2", "int_rle2u", "int_for_bp", "int_pfor", "int_runfor"):
         vals = _int_data_decode(codec, streams, n_dense)
         if pa.types.is_date32(typ):
             return expand_primitive(vals.astype(np.int32), pa.int32()).cast(typ)
@@ -358,7 +380,7 @@ def decode_column(blob: bytes, typ: pa.DataType) -> pa.Array:
         )
         return arr.cast(typ) if arr.type != typ else arr
 
-    if codec in ("arr_int_rle2", "arr_int_rle2u", "arr_int_pfor", "arr_int_for_bp", "arr_float_raw"):
+    if codec in ("arr_int_rle2", "arr_int_rle2u", "arr_int_pfor", "arr_int_for_bp", "arr_int_runfor", "arr_float_raw"):
         lengths = rle_v2_decode(streams[K_LENGTH], n_dense, signed=False)
         n_items = int(lengths.sum())
         child_typ = typ.value_type

@@ -250,9 +250,16 @@ def encode_files(
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import os
 
+        import pyarrow as _pa
         import pyarrow.parquet as pq
 
         from pyspark import TaskContext
+
+        # one worker = one core: N workers each spawning pyarrow's
+        # default cpu_count-sized thread pool oversubscribes the box N×
+        # (32 workers × 32 threads = 1024 runnable threads)
+        _pa.set_cpu_count(1)
+        _pa.set_io_thread_count(2)
 
         part_id = TaskContext.get().partitionId()
         k = 0
@@ -265,6 +272,7 @@ def encode_files(
                     batch_size=stripe_rows,
                     row_groups=list(range(rg_start, rg_start + n_rg)),
                     columns=columns,
+                    use_threads=False,
                 )
                 # distinct seq range per split within this task (k < 256,
                 # 65536 stripes per split) so stripe_ids never collide
@@ -277,7 +285,12 @@ def encode_files(
                     out = pa.Table.from_batches(list(blob_batches), schema=_BLOB_PA_SCHEMA)
                     os.makedirs(output_dir, exist_ok=True)
                     name = f"part-{part_id:05d}-{k:03d}.parquet"
-                    pq.write_table(out, f"{output_dir}/.{name}.tmp", row_group_size=1 << 20)
+                    # blob bytes are already entropy-packed: snappy on top
+                    # wastes CPU for ~0% gain
+                    pq.write_table(
+                        out, f"{output_dir}/.{name}.tmp",
+                        row_group_size=1 << 20, compression="none",
+                    )
                     os.replace(f"{output_dir}/.{name}.tmp", f"{output_dir}/{name}")
                     yield from out.drop_columns("data").to_batches()
                 k += 1

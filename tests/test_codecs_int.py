@@ -191,3 +191,37 @@ def test_rlev2_random_fuzz():
             v = rng.integers(0, 100, n, dtype=np.int64)
             v[rng.random(n) < 0.02] = 2**50
         _roundtrip(v)
+
+
+def test_runfor_roundtrip_shapes():
+    """RUN+FoR codec: runs + FoR/PFOR literals, all vectorized."""
+    from datafusion_orc_spark.codecs.runfor import runfor_decode, runfor_encode
+
+    rng = np.random.default_rng(11)
+    cases = [
+        np.array([], dtype=np.int64),
+        np.zeros(1000, dtype=np.int32),                      # one giant run
+        rng.integers(0, 50257, 100_000).astype(np.int32),    # no runs
+        np.repeat(rng.integers(0, 9, 300), rng.integers(1, 200, 300)).astype(np.int64),
+        np.concatenate([np.full(50, 7), np.full(40, 9), np.arange(100) % 13]).astype(np.int32),
+        (rng.integers(0, 100, 50_000) + np.where(rng.random(50_000) < 0.02, 1 << 40, 0)).astype(np.int64),
+        rng.integers(-(1 << 62), 1 << 62, 10_000),           # wide signed
+    ]
+    for i, v in enumerate(cases):
+        streams = runfor_encode(v)
+        out = runfor_decode(streams, len(v))
+        assert np.array_equal(out, v.astype(np.int64)), f"case {i}"
+
+
+def test_runfor_smaller_than_rlev2_on_runny_tokens():
+    """Token-stream shape (Zipf + boilerplate runs): runfor must beat
+    RLEv2 in size — it is also what the selector picks for big arrays."""
+    from datafusion_orc_spark.codecs.runfor import runfor_encode, runfor_size
+
+    rng = np.random.default_rng(5)
+    zipf = np.minimum(rng.zipf(1.3, 200_000), 50_000).astype(np.int32)
+    runs = np.repeat([17, 23], 2000).astype(np.int32)
+    v = np.concatenate([zipf[:100_000], runs, zipf[100_000:]])
+    rf = runfor_size(runfor_encode(v))
+    rle = len(rle_v2_encode(v, signed=False))
+    assert rf < rle, (rf, rle)

@@ -43,10 +43,13 @@ def test_zipf_pfor_beats_rlev2():
     assert np.array_equal(out, v)
 
 
-def test_zipf_stripe_selects_pfor():
+def test_zipf_stripe_selects_runfor():
+    """Zipf tokens pick RUN+FoR, whose literal path IS PFOR (unlimited
+    exceptions) — it subsumes the earlier int_pfor codec and still beats
+    ORC PATCHED_BASE's bits/token on this shape."""
     v = _zipf_tokens(100_000)
     blob, stats = encode_column(pa.array(v))
-    assert stats["codec"] == "int_pfor", stats["codec"]
+    assert stats["codec"] == "int_runfor", stats["codec"]
     assert decode_column(blob, pa.int32()).equals(pa.array(v))
     assert stats["enc_bytes"] * 8 / stats["n"] < 13
 
