@@ -125,22 +125,25 @@ def run_encode(spark, path: str) -> dict:
     return {"wall": wall, "raw": agg["raw"], "enc": agg["enc"], "rows": agg["rows"]}
 
 
-def measure_encode(spark, path: str, max_runs: int = 10) -> dict:
-    """Warm-to-convergence, then report the best observed run.
+RUNS = int(os.environ.get("SPARK_GRAFT_ENC_RUNS", "8"))
 
-    Page-fault warmup is gradual here (32 reused python workers fault
-    their arenas across the first few runs), so a fixed single warmup
-    under-warms: keep running until two consecutive walls are within 15%
-    of the running best (minimum 3 runs), then return the best run."""
+
+def measure_encode(spark, path: str, runs: int = RUNS) -> dict:
+    """Fixed run count, report the best observed run.
+
+    Page-fault warmup is gradual here (reused python workers fault
+    their arenas across the first several runs — more workers, more
+    runs to warm), and a convergence heuristic stops at false plateaus
+    (r2 interim run: local[32] plateaued at 12.3s after 4 runs where
+    the true warm wall is ~5s). A fixed budget of best-of-8 is the
+    predictable, honest statistic in this fault-noisy sandbox."""
     best = None
     walls = []
-    for _ in range(max_runs):
+    for _ in range(runs):
         r = run_encode(spark, path)
         walls.append(round(r["wall"], 3))
         if best is None or r["wall"] < best["wall"]:
             best = r
-        if len(walls) >= 3 and all(w <= best["wall"] * 1.15 for w in walls[-2:]):
-            break
     best["warmup_walls"] = walls
     return best
 

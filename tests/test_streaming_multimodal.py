@@ -59,3 +59,73 @@ def test_multimodal_features(spark):
     if n_videos:
         assert plan.count() >= n_videos
     assert plan.columns == ["media_id", "sample_ms"]
+
+
+def test_media_codecs_roundtrip():
+    """PNG/WAV/frame-container: encode -> decode bit-identical, plus a
+    hand-filtered PNG (filters 1-4) to prove the decoder is spec-real."""
+    import numpy as np
+    import zlib, struct
+    from datafusion_orc_spark.functions.media_codecs import (
+        frames_decode, frames_encode, png_decode, png_encode, wav_decode, wav_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(img)), img)
+    s = (np.sin(np.arange(4000) / 7.0) * 20000).astype(np.int16)
+    rate, out = wav_decode(wav_encode(s, 8000))
+    assert rate == 8000 and np.array_equal(out, s)
+    fr = [png_encode(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)) for _ in range(3)]
+    assert frames_decode(frames_encode(fr)) == fr
+
+    # independent PNG with non-zero filters: build IDAT by filtering rows
+    # with Sub(1)/Up(2)/Average(3)/Paeth(4) per the spec, decoder must undo
+    h, w = 4, 5
+    img2 = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    rows = img2.reshape(h, w * 3).astype(np.int32)
+    raw = bytearray()
+    for y, f in enumerate([1, 2, 3, 4]):
+        line = rows[y].copy()
+        prev = rows[y - 1] if y else np.zeros(w * 3, np.int32)
+        enc = line.copy()
+        for x in range(w * 3):
+            a = line[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if f == 1: pred = a
+            elif f == 2: pred = b
+            elif f == 3: pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (line[x] - pred) & 0xFF
+        raw.append(f); raw.extend(enc.astype(np.uint8).tobytes())
+    sig = b"\x89PNG\r\n\x1a\n"
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    assert np.array_equal(png_decode(png), img2)
+
+
+def test_multimodal_real_decode_features(spark):
+    """Features must reflect the actual decoded signal, not byte stats:
+    a bright PNG yields higher mean than a dark one; a loud WAV yields
+    higher RMS than a quiet one; video motion is non-zero."""
+    import numpy as np
+    from datafusion_orc_spark.functions.media_codecs import png_encode, wav_encode
+    from datafusion_orc_spark.functions.multimodal import decode_features
+
+    bright = decode_features(png_encode(np.full((16, 16, 3), 220, np.uint8)), "image")
+    dark = decode_features(png_encode(np.full((16, 16, 3), 20, np.uint8)), "image")
+    assert bright[0] > dark[0] + 0.5
+    loud = decode_features(wav_encode((np.sin(np.arange(8000) / 3) * 30000).astype(np.int16)), "audio")
+    quiet = decode_features(wav_encode((np.sin(np.arange(8000) / 3) * 1000).astype(np.int16)), "audio")
+    assert loud[1] > quiet[1] * 5
+    from datafusion_orc_spark.functions.multimodal import synthetic_media, extract_features
+
+    feats = extract_features(synthetic_media(spark, 30)).toPandas()
+    vid = feats[feats["kind"] == "video"]["feature"]
+    assert len(vid) and all(f[15] > 0 for f in vid)  # real inter-frame motion
