@@ -255,6 +255,94 @@ FROM events GROUP BY tag, month ORDER BY tag, month
 """
 
 
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join operator class (EXISTS / NOT EXISTS): customers
+    with vs without orders — distinct from set ops (key-based, preserves
+    left columns, no dedup of the probe side)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "leftsemi")
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "leftanti")
+    return (
+        semi.select(F.lit("has_orders").alias("grp"), "c_custkey", "c_acctbal")
+        .unionAll(anti.select(F.lit("no_orders").alias("grp"), "c_custkey", "c_acctbal"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_custkey").alias("min_k"),
+            F.max("c_custkey").alias("max_k"),
+            F.expr("CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)").alias("bal_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+SQL_SEMI_ANTI_JOIN = """
+WITH u AS (
+  SELECT 'has_orders' AS grp, c_custkey, c_acctbal FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  UNION ALL
+  SELECT 'no_orders', c_custkey, c_acctbal FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+SELECT grp, COUNT(*) AS n, MIN(c_custkey) AS min_k, MAX(c_custkey) AS max_k,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM u GROUP BY grp ORDER BY grp
+"""
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders whose line-item count reaches a
+    threshold (integer-exact predicate — cross-engine deterministic)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               COUNT(*) AS big_orders,
+               MIN(o_orderkey) AS first_key
+        FROM v_orders o
+        WHERE (SELECT COUNT(*) FROM v_lineitem l
+               WHERE l.l_orderkey = o.o_orderkey) >= 5
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+
+
+SQL_CORRELATED_SUBQUERY = """
+SELECT o_orderpriority, COUNT(*) AS big_orders, MIN(o_orderkey) AS first_key
+FROM orders o
+WHERE (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) >= 5
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON field extraction from the events
+    props column (nested/semi-structured operator class)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # 2. encode-engine queries (the north-rule surface)
 # --------------------------------------------------------------------------
@@ -396,8 +484,15 @@ FROM documents GROUP BY source ORDER BY source
 
 
 def q_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine introspection: which codec won per column, sizes, ratio.
-    Non-SQL-expressible (engine-internal) -> rows-only driver check."""
+    """E9 conformance pin: which codec the auto-selector picks per column
+    of the F1 token table, with stripe/row/raw-byte accounting.
+
+    The DuckDB oracle hard-pins the expected codec per column (the
+    selector is deterministic for this fixture) and recomputes rows and
+    raw_bytes from the raw documents table using the engine's accounting
+    convention (strings: blob + 4B/offset; arrays: 4B/item + 4B/offset;
+    int32: 4B/value) — a selector regression or accounting drift goes
+    hash-red. enc_bytes/ratio stay engine-internal (tracked in BENCH)."""
     from datafusion_orc_spark.operators.encode import encode_table
     from datafusion_orc_spark.sources.tokens import tokenized_sequences
 
@@ -407,13 +502,27 @@ def q_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         blobs.groupBy("column", "codec")
         .agg(
             F.count(F.lit(1)).alias("stripes"),
-            F.sum("n_rows").alias("rows"),
+            F.sum("n_rows").alias("n_rows"),
             F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
         )
-        .withColumn("ratio", F.round(F.col("raw_bytes") / F.col("enc_bytes"), 3))
         .orderBy("column", "codec")
     )
+
+
+SQL_CODEC_STATS = f"""
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len({dl.tokens(DUCK)})) AS BIGINT) AS items,
+         CAST(SUM(length(source)) AS BIGINT) AS src_bytes
+  FROM documents)
+SELECT * FROM (
+  SELECT 'doc_id' AS "column", 'str_fsst' AS codec, CAST(4 AS BIGINT) AS stripes,
+         n AS n_rows, 16 * n + 4 * n AS raw_bytes FROM t
+  UNION ALL SELECT 'n_tok', 'int_rle2u', 4, n, 4 * n FROM t
+  UNION ALL SELECT 'source', 'str_dict', 4, n, src_bytes + 4 * n FROM t
+  UNION ALL SELECT 'tokens', 'arr_int_for_bp', 4, n, 4 * items + 4 * n FROM t
+) ORDER BY "column"
+"""
 
 
 # --------------------------------------------------------------------------
@@ -909,6 +1018,89 @@ SELECT query_id, neighbor_id, cos, rnk FROM (
 """
 
 
+_IVF_LISTS, _IVF_PROBES = 8, 2
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the second scale path next to LSH): vectors are
+    assigned to the nearest of C deterministic centroids (first C vectors
+    — a k-means-lite that keeps both engines bit-identical); a query
+    probes its top-2 centroid lists only. The n×C centroid assignment is
+    the textbook IVF build cost (C is a small constant, broadcast to the
+    scan — NOT an all-pairs join; search touches ~n·probes/C vectors)."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QUANT_SPARK.format(col="embedding")).alias("q")
+    )
+    cent = emb.filter(F.col("vec_id") < _IVF_LISTS).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("qc")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "q", "cent_id",
+        F.round(F.expr(_COS_SPARK.replace("qa", "q").replace("qb", "qc")), 6).alias("ccos"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
+    assign = (
+        scored.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cent_id", "q")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < 5)
+        .withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= _IVF_PROBES)
+        .select(F.col("vec_id").alias("query_id"), "cent_id", F.col("q").alias("qa"))
+    )
+    cand = (
+        probes.join(
+            assign.select(F.col("vec_id").alias("neighbor_id"), "cent_id", F.col("q").alias("qb")),
+            "cent_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(F.expr(_COS_SPARK), 6).alias("cos"))
+        .distinct()
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("query_id", "rnk")
+    )
+
+
+_SQL_COS_QC = _SQL_COS_DUCK.replace("a.qe", "e.qe").replace("b.qe", "c.qe")
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {_SQL_QUANT_CTE},
+cent AS (SELECT vec_id AS cent_id, qe FROM q WHERE vec_id < {_IVF_LISTS}),
+scored AS (
+  SELECT e.vec_id, c.cent_id, {_SQL_COS_QC} AS ccos
+  FROM q e, cent c),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+    FROM scored) WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+    FROM scored WHERE vec_id < 5) WHERE r <= {_IVF_PROBES}),
+cand AS (
+  SELECT DISTINCT p.query_id, x.vec_id AS neighbor_id
+  FROM probes p JOIN assign x ON p.cent_id = x.cent_id
+  WHERE p.query_id <> x.vec_id),
+rescored AS (
+  SELECT cd.query_id, cd.neighbor_id, {_SQL_COS_DUCK} AS cos
+  FROM cand cd JOIN q a ON a.vec_id = cd.query_id JOIN q b ON b.vec_id = cd.neighbor_id)
+SELECT query_id, neighbor_id, cos, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM rescored) WHERE rnk <= 10 ORDER BY query_id, rnk
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the LSH-bucketed search vs the brute-force baseline,
     per query vector — the quality metric that justifies the scale path.
@@ -985,12 +1177,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "scalar_functions": (q_scalar_functions, SQL_SCALAR_FUNCTIONS),
+    "semi_anti_join": (q_semi_anti_join, SQL_SEMI_ANTI_JOIN),
+    "correlated_subquery": (q_correlated_subquery, SQL_CORRELATED_SUBQUERY),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     # encode engine
     "roundtrip_lineitem_agg": (q_roundtrip_lineitem_agg, SQL_ROUNDTRIP_LINEITEM_AGG),
     "roundtrip_tokens_agg": (q_roundtrip_tokens_agg, SQL_ROUNDTRIP_TOKENS_AGG),
     "roundtrip_datasource_agg": (q_roundtrip_datasource_agg, SQL_ROUNDTRIP_DATASOURCE_AGG),
     "orc_scan_agg": (q_orc_scan_agg, SQL_ORC_SCAN_AGG),
-    "codec_stats": (q_codec_stats, None),
+    "codec_stats": (q_codec_stats, SQL_CODEC_STATS),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
@@ -1005,5 +1200,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # similarity
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
 }

@@ -61,3 +61,105 @@ def start_incremental_encode(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    window_seconds: int = 60,
+    watermark_seconds: int = 120,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream —
+    the late-data-tolerant streaming aggregation shape (Structured
+    Streaming drops events later than the watermark and finalizes each
+    window once the watermark passes its end).
+
+    Input: any streaming DataFrame with (ts timestamp, event_type string,
+    value double); output: one row per (window, event_type)."""
+    return (
+        stream_df.withWatermark("ts", f"{watermark_seconds} seconds")
+        .groupBy(
+            F.window("ts", f"{window_seconds} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def sessionize_events(
+    stream_df: DataFrame,
+    gap_seconds: int = 300,
+    watermark_seconds: int = 600,
+) -> DataFrame:
+    """Custom stateful operator: per-user sessionization with
+    ``applyInPandasWithState`` — events closer than ``gap_seconds``
+    merge into one session; a session is emitted once the watermark
+    passes its end + gap (state timeout).
+
+    Output: (user_id, session_start, session_end, n_events)."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+    ])
+    state_schema = StructType([
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", IntegerType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [_dt.datetime.utcfromtimestamp(start_us / 1e6)],
+                "session_end": [_dt.datetime.utcfromtimestamp(end_us / 1e6)],
+                "n_events": [n],
+            })
+            return
+        rows = []
+        start_us, end_us, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1000).sort_values()
+            for t in ts_us:
+                if start_us is None:
+                    start_us, end_us, n = int(t), int(t), 1
+                elif t - end_us <= gap_seconds * 1_000_000:
+                    end_us, n = max(end_us, int(t)), n + 1
+                else:  # gap exceeded: close the old session, open a new one
+                    rows.append((user_id,
+                                 _dt.datetime.utcfromtimestamp(start_us / 1e6),
+                                 _dt.datetime.utcfromtimestamp(end_us / 1e6), n))
+                    start_us, end_us, n = int(t), int(t), 1
+        state.update((start_us, end_us, n))
+        state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "session_start", "session_end", "n_events"])
+
+    return (
+        stream_df.withWatermark("ts", f"{watermark_seconds} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+        )
+    )

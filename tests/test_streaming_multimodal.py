@@ -129,3 +129,78 @@ def test_multimodal_real_decode_features(spark):
     feats = extract_features(synthetic_media(spark, 30)).toPandas()
     vid = feats[feats["kind"] == "video"]["feature"]
     assert len(vid) and all(f[15] > 0 for f in vid)  # real inter-frame motion
+
+
+def test_windowed_event_counts_with_late_data(spark, tmp_path):
+    """Watermarked tumbling windows over a rate-limited file stream:
+    counts per window match a batch groupBy over the same rows, and an
+    event later than the watermark is dropped."""
+    import datetime as dt
+    from datafusion_orc_spark.streaming.incremental import windowed_event_counts
+
+    src = str(tmp_path / "src"); out = str(tmp_path / "sink"); ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows1 = [(base + dt.timedelta(seconds=s), "click", 1.0) for s in (5, 15, 65, 70)]
+    spark.createDataFrame(rows1, "ts timestamp, event_type string, value double") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src)
+    q = (windowed_event_counts(stream, window_seconds=60, watermark_seconds=30)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # batch 2 advances the watermark to 570s -> both windows finalize;
+    # batch 3 then delivers an event at 20s, far behind the watermark,
+    # whose window is already closed -> Structured Streaming drops it
+    rows2 = [(base + dt.timedelta(seconds=600), "click", 1.0)]
+    spark.createDataFrame(rows2, "ts timestamp, event_type string, value double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = (windowed_event_counts(stream, window_seconds=60, watermark_seconds=30)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows3 = [(base + dt.timedelta(seconds=20), "late", 99.0)]
+    spark.createDataFrame(rows3, "ts timestamp, event_type string, value double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = (windowed_event_counts(stream, window_seconds=60, watermark_seconds=30)
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"].second + r["window_start"].minute * 60, r["event_type"]): r["n"]
+           for r in spark.read.parquet(out).collect()}
+    assert got.get((0, "click")) == 2      # window [0,60): events at 5s,15s
+    assert got.get((60, "click")) == 2     # window [60,120): 65s,70s
+    assert all(k[1] != "late" for k in got)  # late event dropped by watermark
+
+
+def test_sessionize_events_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: events within the gap merge;
+    a later event opens a new session; state times out via the event-time
+    watermark."""
+    import datetime as dt
+    from datafusion_orc_spark.streaming.incremental import sessionize_events
+
+    src = str(tmp_path / "src"); ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2024, 1, 1)
+    rows1 = [(base + dt.timedelta(seconds=s), 1) for s in (0, 100, 200)] + [
+        (base + dt.timedelta(seconds=50), 2),
+        (base + dt.timedelta(seconds=1000), 1),  # > gap: closes session 1
+    ]
+    spark.createDataFrame(rows1, "ts timestamp, user_id long") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once(name):
+        stream = spark.readStream.schema("ts timestamp, user_id long").parquet(src)
+        q = (sessionize_events(stream, gap_seconds=300, watermark_seconds=60)
+             .writeStream.format("memory").queryName(name).outputMode("update")
+             .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r["user_id"], r["session_start"].second + 60 * r["session_start"].minute): r["n_events"]
+                for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    got = run_once("sess1")
+    # the 1000s event exceeded the 300s gap -> user 1's first session
+    # (0..200s, 3 events) is emitted inline
+    assert got.get((1, 0)) == 3, got
