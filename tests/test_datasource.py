@@ -53,3 +53,24 @@ def test_datasource_filter_pushdown_prunes(spark, encoded_dir):
     assert (
         df.agg(F.sum("n_tok")).collect()[0][0] == seqs.agg(F.sum("n_tok")).collect()[0][0]
     )
+
+
+def test_datasource_reads_encode_files_job_output(spark, tmp_path):
+    """Full fast-path storage round-trip: encode_files_job (pyarrow part
+    files written from inside tasks) -> stripeblob DataSource scan."""
+    from pyspark.sql import functions as F
+
+    from datafusion_orc_spark.plans.pipeline import encode_files_job
+    from datafusion_orc_spark.sources.stripeblob_datasource import register
+
+    src = str(tmp_path / "src")
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    df.repartition(4).write.parquet(src)
+    out = str(tmp_path / "enc")
+    encode_files_job(spark, src, out, files_per_chunk=2, stripe_rows=1500)
+    register(spark)
+    dec = spark.read.format("stripeblob").load(out)
+    assert dec.count() == df.count()
+    a = df.agg(F.sum("l_quantity"), F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    b = dec.agg(F.sum("l_quantity"), F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    assert list(a) == list(b)
