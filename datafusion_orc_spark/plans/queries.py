@@ -757,29 +757,49 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+# degenerate-bucket cap for the Jaccard candidate join: a near-dup-heavy
+# corpus can collapse a MinHash band into one giant bucket -> n^2 pairs
+# within it; buckets above this size are dropped from candidating (their
+# members still pair through their OTHER bands — standard LSH practice)
+_JACCARD_BUCKET_CAP = 100
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup verification: candidate pairs from the
-    first MinHash band, verified by Jaccard over distinct token sets.
-    The LSH-bucket join keeps the pair space tiny (no full cross join)."""
+    union of ALL four MinHash bands (recall 1-(1-s)^4 vs s for one band),
+    each band capped at _JACCARD_BUCKET_CAP members so a degenerate
+    bucket can never go quadratic; pairs verified by exact Jaccard over
+    distinct token sets. Equi-joins only — no cross join anywhere."""
     docs = _t(spark, sf_dir, "documents")
-    a, b = _MINHASH_PERMS[0]
     toks = dl.tokens(SPARK)
-    sig = docs.select(
-        F.col("doc_id"),
-        F.expr(dl.minhash(SPARK, toks, a, b)).alias("bucket"),
-        F.expr(f"array_sort(array_distinct({toks}))").alias("tokset"),
-    )
-    pairs = (
-        sig.alias("x")
-        .join(sig.alias("y"), (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+    sel = [F.col("doc_id"), F.expr(f"array_sort(array_distinct({toks}))").alias("tokset")]
+    for i, (a, b) in enumerate(_MINHASH_PERMS):
+        sel.append(F.expr(dl.minhash(SPARK, toks, a, b)).alias(f"mh{i}"))
+    sig = docs.select(*sel)
+    bands = None
+    for i in range(len(_MINHASH_PERMS)):
+        one = sig.select("doc_id", "tokset", F.lit(i).alias("band"), F.col(f"mh{i}").alias("bucket"))
+        bands = one if bands is None else bands.unionAll(one)
+    sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
+    bands = bands.join(sizes, ["band", "bucket"]).filter(F.col("bn") <= _JACCARD_BUCKET_CAP)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            (
-                F.size(F.array_intersect("x.tokset", "y.tokset"))
-                / (F.size("x.tokset") + F.size("y.tokset") - F.size(F.array_intersect("x.tokset", "y.tokset")))
-            ).alias("jac"),
+            F.col("x.tokset").alias("ta"),
+            F.col("y.tokset").alias("tb"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = cand.select(
+        "doc_a", "doc_b",
+        (
+            F.size(F.array_intersect("ta", "tb"))
+            / (F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb")))
+        ).alias("jac"),
     )
     return (
         pairs.filter(F.col("jac") >= 0.5)
@@ -789,18 +809,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_ngram_jaccard() -> str:
-    a, b = _MINHASH_PERMS[0]
     toks = dl.tokens(DUCK)
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, tokset, {i} AS band, mh{i} AS bucket FROM sig"
+        for i in range(len(_MINHASH_PERMS))
+    )
+    mh_cols = ", ".join(
+        f"{dl.minhash(DUCK, toks, a, b)} AS mh{i}" for i, (a, b) in enumerate(_MINHASH_PERMS)
+    )
     return f"""
 WITH sig AS (
-  SELECT doc_id, {dl.minhash(DUCK, toks, a, b)} AS bucket,
-         list_distinct({toks}) AS tokset
+  SELECT doc_id, list_distinct({toks}) AS tokset, {mh_cols}
   FROM documents),
+bands AS ({band_sel}),
+kept AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band, bucket, COUNT(*) AS bn FROM bands GROUP BY band, bucket) s
+    ON b.band = s.band AND b.bucket = s.bucket
+  WHERE s.bn <= {_JACCARD_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM kept x JOIN kept y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
 pairs AS (
-  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         CAST(len(list_intersect(x.tokset, y.tokset)) AS DOUBLE)
-           / (len(x.tokset) + len(y.tokset) - len(list_intersect(x.tokset, y.tokset))) AS jac
-  FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+           / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset))) AS jac
+  FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b)
 SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM pairs
 WHERE jac >= 0.5 ORDER BY doc_a, doc_b
 """

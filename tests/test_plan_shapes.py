@@ -82,7 +82,7 @@ def test_decode_shuffled_blobs_raises_then_fallback_works(spark):
         blobs.unpersist()
 
 
-@pytest.mark.parametrize("qname", ["q_dedup_embedding", "q_ann_lsh_topk"])
+@pytest.mark.parametrize("qname", ["q_dedup_embedding", "q_ann_lsh_topk", "q_dedup_ngram_jaccard"])
 def test_lsh_paths_have_no_cartesian_join(spark, qname):
     """The embedding dedup / ANN scale paths must candidate via the
     (band, bucket) equi-join — an all-pairs theta-join (CartesianProduct /
