@@ -125,7 +125,7 @@ def run_encode(spark, path: str) -> dict:
     return {"wall": wall, "raw": agg["raw"], "enc": agg["enc"], "rows": agg["rows"]}
 
 
-RUNS = int(os.environ.get("SPARK_GRAFT_ENC_RUNS", "8"))
+RUNS = int(os.environ.get("SPARK_GRAFT_ENC_RUNS", "10"))
 
 
 def measure_encode(spark, path: str, runs: int = RUNS) -> dict:
@@ -135,8 +135,10 @@ def measure_encode(spark, path: str, runs: int = RUNS) -> dict:
     their arenas across the first several runs — more workers, more
     runs to warm), and a convergence heuristic stops at false plateaus
     (r2 interim run: local[32] plateaued at 12.3s after 4 runs where
-    the true warm wall is ~5s). A fixed budget of best-of-8 is the
-    predictable, honest statistic in this fault-noisy sandbox."""
+    the true warm wall is ~5s). A fixed best-of-N is the predictable,
+    honest statistic in this fault-noisy sandbox. Between runs an
+    UNTIMED sync drains the ~450 MB of dirty blob pages each run leaves
+    behind, so run k's writeback does not bleed into run k+1's wall."""
     best = None
     walls = []
     for _ in range(runs):
@@ -144,6 +146,7 @@ def measure_encode(spark, path: str, runs: int = RUNS) -> dict:
         walls.append(round(r["wall"], 3))
         if best is None or r["wall"] < best["wall"]:
             best = r
+        os.sync()  # untimed: flush this run's dirty pages before the next
     best["warmup_walls"] = walls
     return best
 

@@ -48,22 +48,38 @@ def merge_schemas(schemas: list[pa.Schema]) -> pa.Schema:
     return pa.schema(list(fields.values()))
 
 
+# bounded driver-side metadata concurrency (the reference's
+# meta_fetch_concurrency, file_format.rs:83-88): footer reads are tiny
+# ranged reads, so a small thread pool hides IO latency over many files
+META_FETCH_CONCURRENCY = 8
+
+
 def plan_splits(paths: list[str], split_bytes: int = DEFAULT_SPLIT_BYTES, opener=None):
-    """Tail-read every file (metadata only), return (splits, merged_schema).
+    """Tail-read every file (metadata only, concurrently), return
+    (splits, merged_schema).
 
     Each split is (path, first_stripe, n_stripes): contiguous stripes of
     one file packed up to ``split_bytes`` of stripe data — so one huge
     multi-stripe file fans out over many tasks instead of one straggler.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from datafusion_orc_spark.format.orc_reader import OrcReader
+
+    ordered = sorted(paths)
+
+    def fetch(p):
+        r = OrcReader(p, opener=opener)
+        return r.schema(), r.footer.stripes
+
+    with ThreadPoolExecutor(min(META_FETCH_CONCURRENCY, max(1, len(ordered)))) as ex:
+        metas = list(ex.map(fetch, ordered))
 
     schemas = []
     splits: list[tuple[str, int, int]] = []
-    for p in sorted(paths):
-        r = OrcReader(p, opener=opener)
-        schemas.append(r.schema())
+    for p, (schema, stripes) in zip(ordered, metas):
+        schemas.append(schema)
         start, acc = 0, 0
-        stripes = r.footer.stripes
         for i, info in enumerate(stripes):
             acc += info.index_length + info.data_length + info.footer_length
             if acc >= split_bytes:
@@ -83,6 +99,7 @@ def read_orc_distributed(
     split_bytes: int = DEFAULT_SPLIT_BYTES,
     batch_rows: int = DEFAULT_BATCH_ROWS,
     opener=None,
+    file_extension: str | None = ".orc",
 ) -> DataFrame:
     """Scan ORC files with OUR reader, one task per stripe-range.
 
@@ -93,6 +110,8 @@ def read_orc_distributed(
     callable — the ObjectStoreReader seam (object_store_reader.rs:39-59):
     pass e.g. a top-level ``lambda``-free fsspec wrapper to scan s3://hdfs://
     paths with ranged GETs; None = local filesystem.
+    ``file_extension``: reject non-matching paths, the reference's
+    extension validation (lib.rs:138-146); None disables the check.
     """
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -105,6 +124,14 @@ def read_orc_distributed(
     )
     if not paths:
         raise FileNotFoundError(path_or_glob)
+    if file_extension is not None:
+        bad = [p for p in paths if not p.endswith(file_extension)]
+        if bad:
+            raise ValueError(
+                f"read_orc_distributed: {len(bad)} path(s) do not end with "
+                f"'{file_extension}' (e.g. {bad[0]!r}); pass file_extension=None "
+                f"to scan anyway"
+            )
     splits, merged = plan_splits(paths, split_bytes, opener)
     if columns is not None:
         merged = pa.schema([merged.field(c) for c in columns])

@@ -118,3 +118,12 @@ def test_schema_read_is_tail_only(tmp_path):
     r.schema()
     assert cf.bytes_read < min(fsize, 64 * 1024), (cf.bytes_read, fsize)
     assert cf.bytes_read < fsize / 4
+
+
+def test_extension_validation(spark, tmp_path):
+    """lib.rs:138-146 parity: non-.orc paths are rejected unless the
+    check is disabled."""
+    path, _ = _mk(tmp_path, "data.bin", n=100, stripe_rows=100)
+    with pytest.raises(ValueError, match="do not end with"):
+        read_orc_distributed(spark, path)
+    assert read_orc_distributed(spark, path, file_extension=None).count() == 100
