@@ -335,12 +335,19 @@ def rle_v2_encode(vals: np.ndarray, signed: bool = True) -> bytes:
             _encode_short_repeat(out, val, length, signed)
             return
         pos = 0
+        full_chunk: bytes | None = None  # all full 512-chunks are identical
         while pos < length:
             take = min(_MAX_RUN, length - pos)
             if length - pos - take == 1:
                 take -= 1  # avoid a trailing 1-length chunk (delta needs >=2)
             if take <= _MAX_SHORT_REPEAT and 3 <= take:
                 _encode_short_repeat(out, val, take, signed)
+            elif take == _MAX_RUN:
+                if full_chunk is None:
+                    buf = bytearray()
+                    _encode_delta(buf, np.full(take, val, dtype=np.int64), signed)
+                    full_chunk = bytes(buf)
+                out.extend(full_chunk)  # extend, not +=: += would rebind the closure var
             else:
                 _encode_delta(out, np.full(take, val, dtype=np.int64), signed)
             pos += take

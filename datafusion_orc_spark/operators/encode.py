@@ -1,15 +1,24 @@
 """M4 — the Spark encode/decode path.
 
-Encode: ``df.mapInArrow(encode_fn, BLOB_SCHEMA)`` — each task consumes
-its partition's Arrow batches, accumulates them into *stripes* of
-``stripe_rows`` rows (the analogue of the reference's scan batch unit,
-file_source.rs:31, and of ORC stripes, SURVEY.md §1.4/§1.5), encodes
-every column with the E9-selected codec, and emits one blob row per
-(stripe, column) plus stats. Embarrassingly parallel: no shuffle in the
-hot path (mirrors the reference's execution shape, SURVEY.md §4.2).
+Encode, two entry points:
+- ``encode_files`` (the 100-TB path): one task per parquet row-group
+  range; python workers scan with pyarrow directly and write blob part
+  files from inside the task — row data never crosses the JVM, only
+  stats rows return.
+- ``encode_table``: ``df.mapInArrow(encode_fn, BLOB_SCHEMA)`` for
+  arbitrary DataFrames — each task accumulates its partition's Arrow
+  batches into *stripes* of ``stripe_rows`` rows (the analogue of the
+  reference's scan batch unit, file_source.rs:31, and of ORC stripes,
+  SURVEY.md §1.4/§1.5), encodes every column with the E9-selected codec,
+  and emits one blob row per (stripe, column) plus stats.
+Both are embarrassingly parallel: no shuffle in the hot path (mirrors
+the reference's execution shape, SURVEY.md §4.2).
 
-Decode: group blob rows by stripe and rebuild the original columns with
-``applyInArrow`` (bit-identical round-trip — the north-rule invariant).
+Decode: partition-local by default — encode emits each stripe's columns
+contiguously from one task, so ``mapInArrow`` with a local group-by
+rebuilds rows with ZERO Exchange (bit-identical round-trip — the
+north-rule invariant); ``shuffle=True`` falls back to
+``groupBy(stripe_id).applyInArrow`` for scattered blob tables.
 
 Column pruning on decode = a ``WHERE column IN (...)`` filter on the
 blob table before the group-decode — the Spark-side analogue of the
