@@ -208,6 +208,7 @@ def encode_files(
     columns: list[str] | None = None,
     output_dir: str | None = None,
     row_groups_per_split: int = 1,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Parquet files -> blob table WITHOUT moving row data through the JVM.
 
@@ -250,9 +251,13 @@ def encode_files(
         for start in range(0, n_rg, row_groups_per_split):
             splits.append((p, start, min(row_groups_per_split, n_rg - start)))
 
+    # parallelism: concurrent-task cap — one split per task by default;
+    # fewer partitions = tasks process several splits sequentially (used
+    # by the bench's N-vs-4N ladder to vary parallelism inside ONE warm
+    # session instead of restarting JVMs)
     sdf = spark.createDataFrame(
         splits, "path string, rg_start int, n_rg int"
-    ).repartition(len(splits))
+    ).repartition(parallelism if parallelism else len(splits))
     _ensure_workers_can_import(sdf)
     stats_schema = StructType([f for f in BLOB_SCHEMA.fields if f.name != "data"])
 
