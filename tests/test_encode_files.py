@@ -52,3 +52,16 @@ def test_encode_files_plan_has_no_exchange(spark):
     # metadata rows); no exchange may carry blob/data rows. The split
     # repartition shuffles `path` strings only:
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan
+
+
+def test_encode_files_parallelism_cap(spark):
+    """parallelism caps concurrent tasks (the bench ladder mechanism);
+    results are identical regardless of the cap."""
+    from pyspark.sql import functions as F
+
+    df2 = encode_files(spark, SRC, stripe_rows=2000, job_token=3, parallelism=2)
+    assert df2.rdd.getNumPartitions() == 2
+    full = encode_files(spark, SRC, stripe_rows=2000, job_token=3)
+    a = df2.agg(F.sum("n_rows"), F.sum("enc_bytes")).collect()[0]
+    b = full.agg(F.sum("n_rows"), F.sum("enc_bytes")).collect()[0]
+    assert list(a) == list(b)
