@@ -343,6 +343,66 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — an operator Spark lacks, built as a composition: each
+    event joins the latest order of the same customer at-or-before the
+    event timestamp. Implementation = union both sides tagged, one
+    sort-within-partition window carrying the last seen order forward
+    (single shuffle on the key, no range/theta join) — the scalable
+    pattern for time-series enrichment at 100 TB. Orders are first
+    deduped to one row per (custkey, date) with the max orderkey so the
+    match is deterministic; DuckDB oracle uses its native ASOF JOIN."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts"), F.col("event_type")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("ts"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    tagged = orders.select(
+        "user_id", "ts", F.lit(0).alias("kind"), "o_orderkey",
+        F.lit(None).cast("string").alias("event_type"),
+    ).unionAll(
+        ev.select("user_id", "ts", F.lit(1).alias("kind"),
+                  F.lit(None).cast("long").alias("o_orderkey"), "event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        tagged.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+    )
+    return (
+        matched.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("asof_orderkey").alias("n_matched"),
+            F.sum("asof_orderkey").alias("orderkey_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ts, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       COUNT(o.o_orderkey) AS n_matched,
+       CAST(SUM(o.o_orderkey) AS BIGINT) AS orderkey_sum
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.ts
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # 2. encode-engine queries (the north-rule surface)
 # --------------------------------------------------------------------------
@@ -1215,6 +1275,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semi_anti_join": (q_semi_anti_join, SQL_SEMI_ANTI_JOIN),
     "correlated_subquery": (q_correlated_subquery, SQL_CORRELATED_SUBQUERY),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     # encode engine
     "roundtrip_lineitem_agg": (q_roundtrip_lineitem_agg, SQL_ROUNDTRIP_LINEITEM_AGG),
     "roundtrip_tokens_agg": (q_roundtrip_tokens_agg, SQL_ROUNDTRIP_TOKENS_AGG),
