@@ -389,6 +389,122 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_DAYS = 30
+
+
+def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join — each order pairs with EVERY earlier order of the same
+    customer within the prior 30 days (repeat-purchase window). Spark
+    lacks a range join; a theta-join is O(n*m). Scalable composition:
+    bucket both sides by 30-day windows, explode the probe side to its
+    two candidate buckets, equi-join on (custkey, bucket), then filter
+    the exact range — candidates are bounded by bucket population, never
+    the cross product. DuckDB oracle is the plain inequality join."""
+    width = _RANGE_DAYS * 86400
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority",
+        F.unix_timestamp("o_orderdate").alias("ts"),
+    )
+    build = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("prev_key"),
+        F.col("ts").alias("prev_ts"),
+        (F.col("ts") / width).cast("long").alias("bucket"),
+    )
+    probe = o.withColumn(
+        "bucket",
+        F.explode(F.array(
+            (F.col("ts") / width).cast("long"),
+            (F.col("ts") / width).cast("long") - 1,
+        )),
+    )
+    pairs = (
+        probe.join(build, ["o_custkey", "bucket"])
+        .filter(
+            (F.col("prev_ts") <= F.col("ts"))
+            & (F.col("prev_ts") > F.col("ts") - width)
+            & (F.col("prev_key") != F.col("o_orderkey"))
+        )
+    )
+    return (
+        pairs.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("orders_with_prior"),
+            F.sum("prev_key").alias("prev_key_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_RANGE_JOIN_BUCKETS = f"""
+WITH o AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+                  epoch(o_orderdate) AS ts FROM orders)
+SELECT a.o_orderpriority, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT a.o_orderkey) AS orders_with_prior,
+       CAST(SUM(b.o_orderkey) AS BIGINT) AS prev_key_sum
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey
+ AND b.ts <= a.ts AND b.ts > a.ts - {_RANGE_DAYS * 86400}
+ AND b.o_orderkey <> a.o_orderkey
+GROUP BY a.o_orderpriority ORDER BY a.o_orderpriority
+"""
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT operator: per user-decile, event counts pivoted into one
+    column per event type (Spark `groupBy().pivot()`; the oracle
+    expresses the same semantics with conditional aggregation)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "decile", F.pmod("user_id", F.lit(10))
+    )
+    return (
+        ev.groupBy("decile")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("decile")
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id % 10 AS decile,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error
+FROM events GROUP BY decile ORDER BY decile
+"""
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (completes the rollup/cube family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")).alias("rev_cents"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n", "rev_cents",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+SQL_CUBE_REVENUE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY rf, ls
+"""
+
+
 SQL_ASOF_JOIN = """
 WITH o AS (
   SELECT o_custkey AS user_id, o_orderdate AS ts, MAX(o_orderkey) AS o_orderkey
@@ -1276,6 +1392,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "correlated_subquery": (q_correlated_subquery, SQL_CORRELATED_SUBQUERY),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join_buckets": (q_range_join_buckets, SQL_RANGE_JOIN_BUCKETS),
+    "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
+    "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
     # encode engine
     "roundtrip_lineitem_agg": (q_roundtrip_lineitem_agg, SQL_ROUNDTRIP_LINEITEM_AGG),
     "roundtrip_tokens_agg": (q_roundtrip_tokens_agg, SQL_ROUNDTRIP_TOKENS_AGG),
