@@ -1068,6 +1068,72 @@ _SQL_COS_DUCK = """ROUND(
             sqrt(CAST(list_sum(list_transform(b.qe, x -> x * x)) AS DOUBLE))), 6)"""
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    Jaccard>=0.5 pair graph — the step that turns pairwise dedup into
+    keep-one-per-cluster. Spark side = iterative min-label propagation
+    (a driver loop over ITERATIONS, not rows: each step is one
+    equi-join + groupBy-min, converges in O(cluster diameter) steps —
+    near-dup clusters are near-cliques, so 2-4 rounds); oracle = a
+    recursive CTE computing the same min-reachable-label in DuckDB.
+    Output: (cluster_label = min doc_id, size) per component."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(10):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )  # driver-side scalar: convergence check, not row data
+        labels = new_labels
+        if changed == 0:
+            break
+    out = (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(F.col("label").alias("cluster_min_doc"), "size")
+        .orderBy("cluster_min_doc")
+    )
+    return out
+
+
+def _sql_dup_clusters() -> str:
+    inner = SQL_DEDUP_NGRAM_JACCARD.strip().rstrip()
+    return f"""
+WITH RECURSIVE jac AS ({inner}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac
+  UNION
+  SELECT doc_b, doc_a FROM jac),
+reach(node, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+SELECT lab2 AS cluster_min_doc, CAST(COUNT(*) AS BIGINT) AS size FROM (
+  SELECT node, MIN(lab) AS lab2 FROM reach GROUP BY node)
+GROUP BY lab2 ORDER BY lab2
+"""
+
+
+SQL_DUP_CLUSTERS = _sql_dup_clusters()
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, LSH-bucketed (the 100-TB path): candidate
     pairs come from an equi-join on (band, bucket) — never an all-pairs
@@ -1411,6 +1477,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     # similarity
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
