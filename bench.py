@@ -262,9 +262,11 @@ def main() -> None:
     if DO_SCALING:
         levels = (1, 2, 4, 8, 32)
         walls: dict[int, list[float]] = {n: [] for n in levels}
-        epochs = max(4, RUNS // 2)
-        for _ in range(epochs):
-            for n in levels:
+        epochs = int(os.environ.get("SPARK_GRAFT_EPOCHS", "8"))
+        for e in range(epochs):
+            # alternate direction so no level always follows the same
+            # predecessor (order effects average out)
+            for n in levels if e % 2 == 0 else levels[::-1]:
                 r = run_encode(spark, tokens_path, n)
                 walls[n].append(round(r["wall"], 3))
                 os.sync()
