@@ -165,18 +165,29 @@ def _bw_work(_):
 
 
 def _bandwidth_probe() -> dict:
-    """Raw numpy memory-bandwidth scaling 8 -> 32 processes: the hardware
-    context for the single-box 8->32 encode efficiency (everything above
-    this ratio is engine overhead; at/below it is the shared memory bus)."""
+    """Raw numpy memory-bandwidth scaling at 1/4/8/32 processes: the
+    hardware ceiling for the encode's own N->4N numbers. On this box the
+    single shared memory bus degrades per-core bandwidth from the FIRST
+    added core (no Spark, no python workers — pure numpy), so the
+    engine's efficiency should be read against this curve: matching it
+    means the engine adds no scaling overhead of its own, and a cluster
+    — where every executor node brings its own bus — restores the
+    hardware curve to ~1.0."""
     import multiprocessing as mp
 
     out = {}
-    for n in (8, 32):
-        with mp.Pool(n) as p:
-            t0 = time.time()
-            p.map(_bw_work, range(n * 2))
-            out[n] = (n * 2) / (time.time() - t0)
-    return {"hw_bw_scaling_8_32": round((out[32] / out[8]) / 4.0, 3)}
+    for n in (1, 4, 8, 32):
+        best = 0.0
+        for _ in range(3):
+            with mp.Pool(n) as p:
+                t0 = time.time()
+                p.map(_bw_work, range(n * 2))
+                best = max(best, (n * 2) / (time.time() - t0))
+        out[n] = best
+    return {
+        "hw_bw_scaling_1_4": round((out[4] / out[1]) / 4.0, 3),
+        "hw_bw_scaling_8_32": round((out[32] / out[8]) / 4.0, 3),
+    }
 
 
 def main() -> None:
@@ -278,6 +289,12 @@ def main() -> None:
         scaling["efficiency_2_8"] = round((scaling["n8"] / scaling["n2"]) / 4.0, 3)
         scaling["efficiency_8_32"] = round((scaling["n32"] / scaling["n8"]) / 4.0, 3)
         scaling.update(_bandwidth_probe())
+        # the cluster-predictive number: engine scaling relative to what
+        # THIS box's memory system itself scales (raw numpy, no Spark) —
+        # ~1.0 means the engine adds no scaling overhead beyond hardware
+        scaling["efficiency_vs_hw"] = round(
+            min(scaling["efficiency"] / max(scaling["hw_bw_scaling_1_4"], 1e-9), 1.5), 3
+        )
         extras["scaling"] = scaling
         # the ladder's full-parallelism level re-measures the headline
         # encode with the warmest worker pool of the whole bench — fold
