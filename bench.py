@@ -13,9 +13,9 @@ Extra keys (informational, judge-facing):
 - orc_java_bytes           df.write.orc (Spark's ORC-Java writer, snappy)
                            size on the same rows — the reference
                            stand-in for the compressed-size gate
-- scaling                  tokens/sec at 2 / 8 / 32 concurrent tasks
+- scaling                  tokens/sec at 1/2/4/8/32 concurrent tasks
                            on the SAME input in one warm session (the
-                           north rule's N vs 4N evidence: efficiency =
+                           single-JVM ladder: efficiency_2_8 =
                            (thr_8/thr_2)/4, the N->4N pair below this
                            box's memory-bandwidth knee;
                            efficiency_8_32 is also reported with
@@ -24,6 +24,15 @@ Extra keys (informational, judge-facing):
                            context: one JVM on one memory bus saturates
                            bandwidth near 8 cores, which a multi-executor
                            cluster, with one bus per node, does not).
+- executor_scaling         the north rule's literal N vs 4N EXECUTORS
+                           pair: the same job under local-cluster[1,2,*]
+                           vs local-cluster[4,2,*] (separate executor
+                           JVMs + python worker pools, 2 cores each) —
+                           efficiency_exec_1_4 = (thr_4x2/thr_1x2)/4.
+- best_warm_tokens_per_sec the ladder's full-parallelism best (warmest
+                           worker pool of the whole bench); reported
+                           separately from the headline tokens_per_sec
+                           (which stays the fixed best-of-RUNS window).
 
 Measurement notes (why this file pins allocators):
 - This sandbox services first-touch page faults ~50x slower than warm
@@ -63,12 +72,19 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "240000"))
 TOKENS_PARQUET = f"/tmp/spark_graft_bench_tokens_{BENCH_ROWS}.parquet"
 
 
-def build_session(cpus: int):
+def build_session(cpus: int, master: str | None = None):
     from pyspark.sql import SparkSession
 
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName("datafusion-orc-spark-bench")
+        # executor JVMs (local-cluster mode) must inherit the allocator
+        # pinning — without it their python workers re-fault arenas every
+        # run (the r1 scaling collapse)
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "4g")
@@ -109,22 +125,31 @@ def run_encode(spark, path: str, parallelism: int | None = None) -> dict:
     architecture the reference uses (scan+decode in one native process),
     with Spark as the scheduler. Measured work = scan + encode + write,
     directly comparable to df.write.orc."""
-    from pyspark.sql import functions as F
-
     from datafusion_orc_spark.operators.encode import encode_files
 
     shutil.rmtree(BLOB_OUT, ignore_errors=True)
-    t0 = time.time()
-    stats = encode_files(
-        spark, path, stripe_rows=16384, output_dir=BLOB_OUT, parallelism=parallelism
-    )
-    agg = stats.agg(
-        F.sum("raw_bytes").alias("raw"),
-        F.sum("enc_bytes").alias("enc"),
-        F.sum(F.when(F.col("column") == "tokens", F.col("n_rows")).otherwise(0)).alias("rows"),
-    ).collect()[0]
-    wall = time.time() - t0
-    return {"wall": wall, "raw": agg["raw"], "enc": agg["enc"], "rows": agg["rows"]}
+    # AQE off for this one job: the encode is a single mapInArrow stage
+    # with no exchange — AQE only adds a replan round-trip per run
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t0 = time.time()
+        stats = encode_files(
+            spark, path, stripe_rows=16384, output_dir=BLOB_OUT, parallelism=parallelism
+        )
+        # collect the few-hundred tiny stats rows and reduce driver-side:
+        # a .agg() here planned a partial-agg + Exchange + final-agg tail
+        # (two extra stage barriers) onto every measured run
+        rows = stats.collect()
+        wall = time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    return {
+        "wall": wall,
+        "raw": sum(r["raw_bytes"] for r in rows),
+        "enc": sum(r["enc_bytes"] for r in rows),
+        "rows": sum(r["n_rows"] for r in rows if r["column"] == "tokens"),
+    }
 
 
 RUNS = int(os.environ.get("SPARK_GRAFT_ENC_RUNS", "10"))
@@ -297,12 +322,46 @@ def main() -> None:
         )
         extras["scaling"] = scaling
         # the ladder's full-parallelism level re-measures the headline
-        # encode with the warmest worker pool of the whole bench — fold
-        # it into the recorded best (identical job, identical session)
-        if scaling[f"n{CPUS}"] > extras["tokens_per_sec"]:
-            extras["tokens_per_sec"] = scaling[f"n{CPUS}"]
-            results["encode_tokens"] = round(total_tokens / scaling[f"n{CPUS}"], 3)
+        # encode with the warmest worker pool of the whole bench — report
+        # it as its own key (NOT folded into the headline: the headline
+        # stays the fixed best-of-RUNS measurement above, so it remains
+        # comparable to encode_warmup_walls)
+        extras["best_warm_tokens_per_sec"] = scaling[f"n{CPUS}"]
     spark.stop()
+
+    # N -> 4N EXECUTORS, the north rule's literal cluster-size pair:
+    # the same encode job under local-cluster[1,2,*] vs local-cluster[4,2,*]
+    # — separate executor JVMs with separate python worker pools, 2 cores
+    # each (both levels below this box's single-memory-bus knee; a real
+    # cluster adds one bus per node, which one box cannot emulate past
+    # ~8 cores). Sessions are interleaved (1,4,1,4) so machine phases
+    # (khugepaged/writeback moods) average out across levels.
+    if DO_SCALING and os.environ.get("SPARK_GRAFT_EXEC_SCALING", "1") != "0":
+        exec_walls: dict[int, list[float]] = {1: [], 4: []}
+        for _round in range(2):
+            for n_exec in (1, 4):
+                lspark = build_session(CPUS, master=f"local-cluster[{n_exec},2,2048]")
+                lspark.sparkContext.setLogLevel("ERROR")
+                try:
+                    for _ in range(2):  # untimed warmup: worker spawn + arena faults
+                        run_encode(lspark, tokens_path, 2 * n_exec)
+                        os.sync()
+                    for _ in range(4):
+                        r = run_encode(lspark, tokens_path, 2 * n_exec)
+                        exec_walls[n_exec].append(round(r["wall"], 3))
+                        os.sync()
+                finally:
+                    lspark.stop()
+        ex = {
+            "executors_1x2_tokens_per_sec": round(total_tokens / min(exec_walls[1])),
+            "executors_4x2_tokens_per_sec": round(total_tokens / min(exec_walls[4])),
+            "executors_1_walls": exec_walls[1],
+            "executors_4_walls": exec_walls[4],
+        }
+        ex["efficiency_exec_1_4"] = round(
+            (ex["executors_4x2_tokens_per_sec"] / ex["executors_1x2_tokens_per_sec"]) / 4.0, 3
+        )
+        extras["executor_scaling"] = ex
 
     out = {
         "metric": "encode throughput (tokens/sec) + query wall times",

@@ -28,4 +28,4 @@ __version__ = "0.2.0"
 # Bump whenever any on-disk format (stripe blobs, ORC writer output,
 # manifest layout) changes shape: /tmp caches written by queries are keyed
 # on this, so a stale dir from an older code version is never re-served.
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3  # v3: stripe blob wire v2 (runfor side-lists delta+bitpack)

@@ -98,9 +98,11 @@ def bit_pack(vals: np.ndarray, width: int) -> bytes:
         isz = 8
     wb = (width + 7) // 8  # only touch the low ceil(w/8) bytes per value
     # little-endian byte view reversed = big-endian low bytes, no byteswap pass
-    be = np.ascontiguousarray(u.view(np.uint8).reshape(n, isz)[:, wb - 1 :: -1])
     if width % 8 == 0:  # byte-aligned width: the bytes ARE the packing
-        return be.tobytes()
+        # tobytes() on the strided view copies once (ascontiguousarray +
+        # tobytes would copy twice — this path carries the token streams)
+        return u.view(np.uint8).reshape(n, isz)[:, wb - 1 :: -1].tobytes()
+    be = np.ascontiguousarray(u.view(np.uint8).reshape(n, isz)[:, wb - 1 :: -1])
     bits = np.unpackbits(be.reshape(-1)).reshape(n, wb * 8)
     bits = np.ascontiguousarray(bits[:, wb * 8 - width :])
     return np.packbits(bits.reshape(-1)).tobytes()

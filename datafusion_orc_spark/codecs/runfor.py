@@ -45,14 +45,52 @@ META, LIT, RUN_POS, RUN_LEN, RUN_VAL, EXC_POS, EXC_HIGH = range(7)
 
 
 def _coverage_mask(n: int, r_pos: np.ndarray, r_len: np.ndarray) -> np.ndarray:
-    delta = np.zeros(n + 1, dtype=np.int32)
+    # int8 end-to-end: runs are disjoint so nesting never exceeds 1, and
+    # cumsum(dtype=int8) + view(bool) keeps this at ~3n bytes of traffic
+    # (the int32+astype version moved ~12n and dominated the encode's
+    # memory-bus footprint — the 2->8 scaling bottleneck)
+    delta = np.zeros(n + 1, dtype=np.int8)
     np.add.at(delta, r_pos, 1)
     np.add.at(delta, r_pos + r_len, -1)
-    return np.cumsum(delta[:n]).astype(bool)
+    return np.cumsum(delta[:n], dtype=np.int8).view(bool)
 
 
-def runfor_encode(vals: np.ndarray) -> dict[int, bytes]:
-    """int array -> stream dict (keys above; absent = empty)."""
+def sorted_pos_encode(pos: np.ndarray) -> bytes:
+    """Strictly-increasing int64 positions -> varint(first) + u8 width +
+    bit-packed gaps. One vector pass — replaces the RLEv2 side-list
+    encoding whose per-512-window python loop dominated run/exception
+    heavy stripes."""
+    if len(pos) == 0:
+        return b""
+    first = int(pos[0])
+    gaps = np.diff(pos).view(np.uint64)
+    w = closest_fixed_width(max(1, int(gaps.max()).bit_length())) if len(gaps) else 1
+    return varint_encode_scalar(first) + bytes([w]) + bit_pack(gaps, w)
+
+
+def sorted_pos_decode(buf: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    first, p = varint_decode_scalar(raw, 0)
+    w = int(raw[p])
+    gaps = bit_unpack(raw[p + 1 :], w, n - 1)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    np.cumsum(gaps.view(np.int64), out=out[1:])
+    out[1:] += first
+    return out
+
+
+def runfor_encode(
+    vals: np.ndarray, vmin: int | None = None, vmax: int | None = None
+) -> dict[int, bytes]:
+    """int array -> stream dict (keys above; absent = empty).
+
+    ``vmin``/``vmax``: optional precomputed column min/max (the stripe
+    stats pass already has them) — saves two full-array reductions; any
+    vmin <= min(vals) / vmax >= max(vals) is correct (FoR base need only
+    be a lower bound; width only an upper bound)."""
     n = len(vals)
     v = np.ascontiguousarray(vals)
     if n == 0:
@@ -99,21 +137,31 @@ def runfor_encode(vals: np.ndarray) -> dict[int, bytes]:
 
     streams: dict[int, bytes] = {}
     if len(r_pos):
-        streams[RUN_POS] = rle_v2_encode(r_pos, signed=False)
+        streams[RUN_POS] = sorted_pos_encode(r_pos)
         streams[RUN_LEN] = rle_v2_encode(r_len, signed=False)
         streams[RUN_VAL] = rle_v2_encode(v[r_pos].astype(np.int64), signed=True)
 
-    base = int(lit.min()) if n_lit else 0
+    base = int(vmin) if vmin is not None else (int(lit.min()) if n_lit else 0)
     w = wm = 1
     n_exc = 0
     if n_lit:
         u_dt = np.uint32 if lit.dtype == np.int32 else np.uint64
-        with np.errstate(over="ignore"):
-            reduced = (lit - lit.dtype.type(base)).view(u_dt)
+        if base == 0:
+            # all-non-negative with base 0: the unsigned view IS the
+            # reduced array — skips a full subtract+write pass (token
+            # streams always take this branch)
+            reduced = lit.view(u_dt)
+        else:
+            with np.errstate(over="ignore"):
+                reduced = (lit - lit.dtype.type(base)).view(u_dt)
         # width choice from a 1-in-16 SAMPLE histogram (a slightly
         # off-optimal w only costs size, never correctness — exceptions
-        # absorb every value >= 2^w); wm comes from the exact max
-        wm = closest_fixed_width(max(1, int(reduced.max()).bit_length()))
+        # absorb every value >= 2^w); wm comes from the exact max (or the
+        # caller's column max, an upper bound — avoids another pass)
+        if vmax is not None and vmin is not None:
+            wm = closest_fixed_width(max(1, (int(vmax) - base).bit_length()))
+        else:
+            wm = closest_fixed_width(max(1, int(reduced.max()).bit_length()))
         sample = reduced[::16] if n_lit > 65536 else reduced
         widths = bit_widths(sample)
         w, _bits = choose_pfor_width(widths, wm)
@@ -123,9 +171,10 @@ def runfor_encode(vals: np.ndarray) -> dict[int, bytes]:
             if not n_exc:
                 w = wm  # sample saw outliers the full data lacks
             mask = u_dt((1 << w) - 1) if w < reduced.dtype.itemsize * 8 else ~u_dt(0)
-            streams[LIT] = bit_pack(reduced & mask, w)
-            streams[EXC_POS] = rle_v2_encode(np.flatnonzero(exc_mask).astype(np.int64), signed=False)
-            streams[EXC_HIGH] = bit_pack((reduced[exc_mask] >> u_dt(w)).astype(np.uint64), wm - w)
+            streams[LIT] = bit_pack(reduced & mask if n_exc else reduced, w)
+            if n_exc:
+                streams[EXC_POS] = sorted_pos_encode(np.flatnonzero(exc_mask).astype(np.int64))
+                streams[EXC_HIGH] = bit_pack((reduced[exc_mask] >> u_dt(w)).astype(np.uint64), wm - w)
         else:
             w = wm
             streams[LIT] = bit_pack(reduced, w)
@@ -160,16 +209,18 @@ def runfor_decode(streams: dict[int, bytes], n: int) -> np.ndarray:
     if n_lit:
         lit = bit_unpack(streams[LIT], w, n_lit)
         if n_exc:
-            pos = rle_v2_decode(streams[EXC_POS], n_exc, signed=False)
+            pos = sorted_pos_decode(streams[EXC_POS], n_exc)
             high = bit_unpack(streams[EXC_HIGH], wm - w, n_exc)
             lit[pos] |= high << np.uint64(w)
-        lit = lit.view(np.int64) + base
+        lit = lit.view(np.int64)
+        if base:
+            lit += base
     else:
         lit = np.empty(0, dtype=np.int64)
 
     if not n_runs:
         return lit
-    r_pos = rle_v2_decode(streams[RUN_POS], n_runs, signed=False)
+    r_pos = sorted_pos_decode(streams[RUN_POS], n_runs)
     r_len = rle_v2_decode(streams[RUN_LEN], n_runs, signed=False)
     r_val = rle_v2_decode(streams[RUN_VAL], n_runs, signed=True)
     out = np.empty(n, dtype=np.int64)

@@ -24,12 +24,16 @@ DICT_KEY_RATIO = 0.8  # ORC Java hive.exec.orc.dictionary.key.size.threshold
 _SAMPLE = 4096
 
 
-def int_stats(vals: np.ndarray) -> dict:
-    """Stats over a (non-null) int64 view: range, widths, run/monotone shape."""
+def int_stats(vals: np.ndarray, vmin: int | None = None, vmax: int | None = None) -> dict:
+    """Stats over a (non-null) int64 view: range, widths, run/monotone shape.
+
+    ``vmin``/``vmax``: optional precomputed min/max (the stripe stats pass
+    already made those reductions — don't repeat two full-array passes)."""
     n = len(vals)
     if n == 0:
         return {"n": 0, "min": 0, "max": 0, "runs": 0, "monotonic": True, "w_direct": 1, "w_for": 1}
-    mn, mx = int(vals.min()), int(vals.max())
+    mn = int(vmin) if vmin is not None else int(vals.min())
+    mx = int(vmax) if vmax is not None else int(vals.max())
     sample = vals[: min(n, _SAMPLE)]
     d = np.diff(sample.astype(np.int64, copy=False))
     runs = int((d != 0).sum()) + 1
@@ -50,14 +54,16 @@ def int_stats(vals: np.ndarray) -> dict:
     }
 
 
-def choose_int_codec(vals: np.ndarray) -> tuple[str, dict]:
+def choose_int_codec(
+    vals: np.ndarray, vmin: int | None = None, vmax: int | None = None
+) -> tuple[str, dict]:
     """-> ("int_rle2" | "int_for_bp", stats).
 
     RLEv2 wins on runs / monotonic / outlier shapes (its window chooser
     picks SR/DELTA/PB); explicit FoR+bitpack wins when values are a dense
     band far from zero (w_for << w_direct) with no run structure.
     """
-    s = int_stats(vals)
+    s = int_stats(vals, vmin=vmin, vmax=vmax)
     if s["n"] == 0:
         return "int_rle2", s
     sample_n = min(s["n"], _SAMPLE)

@@ -43,7 +43,7 @@ from datafusion_orc_spark.codecs.varint import (
     varint_encode_signed,
 )
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: runfor RUN_POS/EXC_POS switched to delta+bitpack
 
 # codec ids
 CODECS = {
@@ -83,18 +83,18 @@ CODEC_NAMES = {v: k for k, v in CODECS.items()}
 
 
 def _assemble(codec: str, n_rows: int, n_nulls: int, streams: list[tuple[int, bytes]]) -> bytes:
-    out = bytearray()
-    out.append(FORMAT_VERSION)
-    out.append(CODECS[codec])
-    out += int(n_rows).to_bytes(4, "little")
-    out += int(n_nulls).to_bytes(4, "little")
-    out.append(len(streams))
+    hdr = bytearray()
+    hdr.append(FORMAT_VERSION)
+    hdr.append(CODECS[codec])
+    hdr += int(n_rows).to_bytes(4, "little")
+    hdr += int(n_nulls).to_bytes(4, "little")
+    hdr.append(len(streams))
     for kind, data in streams:
-        out.append(kind)
-        out += len(data).to_bytes(8, "little")
-    for _, data in streams:
-        out += data
-    return bytes(out)
+        hdr.append(kind)
+        hdr += len(data).to_bytes(8, "little")
+    # single-copy join (bytearray += data, then bytes(out) copied the
+    # multi-MB token stream twice per stripe)
+    return b"".join([bytes(hdr), *(data for _, data in streams)])
 
 
 def _parse(blob: bytes) -> tuple[str, int, int, dict[int, bytes]]:
@@ -129,7 +129,9 @@ def _binary_parts(arr: pa.Array) -> tuple[bytes, np.ndarray]:
     bufs = lb.buffers()
     off = np.frombuffer(bufs[1], dtype=np.int64, count=len(lb) + 1, offset=lb.offset * 8)
     lengths = np.diff(off)
-    blob = bufs[2].to_pybytes()[off[0] : off[-1]] if len(lb) else b""
+    # slice the Arrow buffer (zero-copy view) BEFORE materializing bytes —
+    # to_pybytes()-then-slice copied the whole blob twice on sliced arrays
+    blob = bufs[2].slice(int(off[0]), int(off[-1] - off[0])).to_pybytes() if len(lb) else b""
     return blob, lengths.astype(np.int64)
 
 
@@ -139,12 +141,16 @@ def _validity_buffer(valid: np.ndarray) -> pa.Buffer | None:
     return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
 
 
-def _encode_for_bp(vals: np.ndarray) -> bytes:
-    mn = int(vals.min()) if len(vals) else 0
+def _encode_for_bp(vals: np.ndarray, vmin: int | None = None, vmax: int | None = None) -> bytes:
+    mn = int(vmin) if vmin is not None else (int(vals.min()) if len(vals) else 0)
+    mx = int(vmax) if vmax is not None else (int(vals.max()) if len(vals) else 0)
     u_dt = np.uint32 if vals.dtype == np.int32 else np.uint64
-    with np.errstate(over="ignore"):
-        reduced = (vals - vals.dtype.type(mn)).view(u_dt)
-    width = closest_fixed_width(max(1, (int(vals.max()) - mn).bit_length())) if len(vals) else 1
+    if mn == 0:
+        reduced = vals.view(u_dt)  # non-negative: skip the subtract pass
+    else:
+        with np.errstate(over="ignore"):
+            reduced = (vals - vals.dtype.type(mn)).view(u_dt)
+    width = closest_fixed_width(max(1, (mx - mn).bit_length())) if len(vals) else 1
     meta = varint_encode_signed(np.array([mn], dtype=np.int64)) + bytes([width])
     return meta, bit_pack(reduced, width)
 
@@ -163,12 +169,17 @@ _RUNFOR_KINDS = {
 _RUNFOR_KEYS = {v: k for k, v in _RUNFOR_KINDS.items()}
 
 
-def _int_data_streams(vals: np.ndarray, codec_prefix: str = "") -> tuple[str, list[tuple[int, bytes]]]:
+def _int_data_streams(
+    vals: np.ndarray,
+    codec_prefix: str = "",
+    vmin: int | None = None,
+    vmax: int | None = None,
+) -> tuple[str, list[tuple[int, bytes]]]:
     from datafusion_orc_spark.codecs.runfor import runfor_encode, runfor_size
 
-    codec, stats = choose_int_codec(vals)
+    codec, stats = choose_int_codec(vals, vmin=vmin, vmax=vmax)
     if codec == "int_for_bp":
-        meta, data = _encode_for_bp(vals)
+        meta, data = _encode_for_bp(vals, stats["min"], stats["max"])
         return codec_prefix + "int_for_bp", [(K_META, meta), (K_DATA, data)]
     unsigned = bool(stats["n"]) and stats["min"] >= 0
     if stats["monotonic"]:
@@ -176,7 +187,7 @@ def _int_data_streams(vals: np.ndarray, codec_prefix: str = "") -> tuple[str, li
         rle_bytes = rle_v2_encode(vals, signed=not unsigned)
         name = "int_rle2u" if unsigned else "int_rle2"
         return codec_prefix + name, [(K_DATA, rle_bytes)]
-    rf = runfor_encode(vals)
+    rf = runfor_encode(vals, vmin=stats["min"], vmax=stats["max"])
     rf_streams = [(_RUNFOR_KINDS[k], b) for k, b in sorted(rf.items())]
     if stats["n"] > (1 << 20):
         # big arrays (token streams): runfor is both smaller (runs cost
@@ -229,9 +240,15 @@ def encode_column(arr: pa.Array | pa.ChunkedArray) -> tuple[bytes, dict]:
     present = [(K_PRESENT, bool_rle_encode(valid))] if n_nulls else []
     stats: dict = {"n": n, "nulls": int(n_nulls), "raw_bytes": int(arr.nbytes)}
 
-    def fin(codec: str, streams: list[tuple[int, bytes]], crc_payload: bytes) -> tuple[bytes, dict]:
+    def fin(codec: str, streams: list[tuple[int, bytes]], *crc_payload) -> tuple[bytes, dict]:
+        # crc over the raw payload buffers incrementally — numpy arrays go
+        # through the buffer protocol zero-copy (tobytes()+concat copied
+        # the whole token column twice per stripe just to checksum it)
+        crc = 0
+        for part in crc_payload:
+            crc = zlib.crc32(part, crc)
         blob = _assemble(codec, n, n_nulls, present + streams)
-        stats.update(codec=codec, enc_bytes=len(blob), crc32=zlib.crc32(crc_payload) & 0xFFFFFFFF)
+        stats.update(codec=codec, enc_bytes=len(blob), crc32=crc & 0xFFFFFFFF)
         return blob, stats
 
     # integer-like (ints, date, timestamp)
@@ -246,16 +263,17 @@ def encode_column(arr: pa.Array | pa.ChunkedArray) -> tuple[bytes, dict]:
                 vals = vals.astype(np.int32 if vals.dtype.itemsize <= 4 else np.int64)
         if len(vals):
             stats["min"], stats["max"] = int(vals.min()), int(vals.max())
-        codec, streams = _int_data_streams(vals)
-        return fin(codec, streams, vals.tobytes())
+        codec, streams = _int_data_streams(vals, vmin=stats.get("min"), vmax=stats.get("max"))
+        return fin(codec, streams, np.ascontiguousarray(vals))
 
     if pa.types.is_boolean(typ):
         flags = dense.to_numpy(zero_copy_only=False).astype(bool)
-        return fin("bool_rle", [(K_DATA, bool_rle_encode(flags))], np.packbits(flags).tobytes())
+        return fin("bool_rle", [(K_DATA, bool_rle_encode(flags))], np.packbits(flags))
 
     if pa.types.is_floating(typ):
         vals = dense.to_numpy(zero_copy_only=False)
-        return fin("float_raw", [(K_DATA, vals.tobytes())], vals.tobytes())
+        raw = np.ascontiguousarray(vals)
+        return fin("float_raw", [(K_DATA, raw.tobytes())], raw)
 
     if pa.types.is_string(typ) or pa.types.is_large_string(typ) or pa.types.is_binary(typ):
         blob, lengths = _binary_parts(dense)
@@ -295,15 +313,17 @@ def encode_column(arr: pa.Array | pa.ChunkedArray) -> tuple[bytes, dict]:
                 vals = vals.astype(np.int32 if vals.dtype.itemsize <= 4 else np.int64)
             if len(vals):
                 stats["min"], stats["max"] = int(vals.min()), int(vals.max())
-            codec, streams = _int_data_streams(vals, codec_prefix="arr_")
+            codec, streams = _int_data_streams(
+                vals, codec_prefix="arr_", vmin=stats.get("min"), vmax=stats.get("max")
+            )
             streams = [(K_LENGTH, rle_v2_encode(lengths, signed=False))] + streams
-            return fin(codec, streams, vals.tobytes() + lengths.tobytes())
+            return fin(codec, streams, np.ascontiguousarray(vals), lengths)
         if flat.null_count == 0 and pa.types.is_floating(child):
-            fvals = flat.to_numpy(zero_copy_only=False)
+            fvals = np.ascontiguousarray(flat.to_numpy(zero_copy_only=False))
             return fin("arr_float_raw", [
                 (K_LENGTH, rle_v2_encode(lengths, signed=False)),
                 (K_DATA, fvals.tobytes()),
-            ], fvals.tobytes() + lengths.tobytes())
+            ], fvals, lengths)
 
     # fallback: Arrow IPC round-trip for any type (incl. struct/map/decimal)
     sink = pa.BufferOutputStream()

@@ -135,10 +135,15 @@ def _encode_stream(
     part_id: int,
     job_token: int,
     seq_start: int = 0,
+    seq_end: int | None = None,
 ) -> Iterator[pa.RecordBatch]:
     """Shared per-task encode loop: accumulate Arrow batches into stripes
     of ``stripe_rows`` rows, encode each column with the E9-selected
-    codec, emit one blob row per (stripe, column)."""
+    codec, emit one blob row per (stripe, column).
+
+    ``seq_end``: exclusive upper bound on ``seq`` (the files path gives
+    each split a 65536-stripe window — overflowing into the next split's
+    window would silently collide stripe_ids, so it raises instead)."""
     seq = seq_start
     buf: list[pa.RecordBatch] = []
     buffered = 0
@@ -159,6 +164,12 @@ def _encode_stream(
                     f"stripe_id packing overflow: part_id={part_id} (max 65535), "
                     f"seq={seq} (max {(1 << 24) - 1}) — widen the packing before "
                     f"running with >65536 partitions"
+                )
+            if seq_end is not None and seq >= seq_end:
+                raise ValueError(
+                    f"stripe_id packing overflow: seq={seq} reached this split's "
+                    f"window end {seq_end} (65536 stripes/split) — raise "
+                    f"stripe_rows or lower row_groups_per_split"
                 )
             stripe_id = (job_token << 40) | (part_id << 24) | seq
             seq += 1
@@ -254,10 +265,21 @@ def encode_files(
     # parallelism: concurrent-task cap — one split per task by default;
     # fewer partitions = tasks process several splits sequentially (used
     # by the bench's N-vs-4N ladder to vary parallelism inside ONE warm
-    # session instead of restarting JVMs)
+    # session instead of restarting JVMs). parallelize(n) slices the
+    # split list directly into n partitions — a createDataFrame +
+    # repartition() here planned an Exchange, i.e. a whole extra stage
+    # barrier + AQE replan per encode job, pure scheduler tax on a job
+    # whose row data never touches the JVM
+    n_parts = min(parallelism if parallelism else len(splits), len(splits))
+    if n_parts < len(splits):
+        # strided reorder so each contiguous parallelize-slice gets a
+        # round-robin sample of files (balances skewed file sizes the way
+        # repartition's round-robin did, without the shuffle)
+        splits = [splits[i] for k in range(n_parts) for i in range(k, len(splits), n_parts)]
     sdf = spark.createDataFrame(
-        splits, "path string, rg_start int, n_rg int"
-    ).repartition(parallelism if parallelism else len(splits))
+        spark.sparkContext.parallelize(splits, n_parts),
+        "path string, rg_start int, n_rg int",
+    )
     _ensure_workers_can_import(sdf)
     stats_schema = StructType([f for f in BLOB_SCHEMA.fields if f.name != "data"])
 
@@ -291,7 +313,8 @@ def encode_files(
                 # distinct seq range per split within this task (k < 256,
                 # 65536 stripes per split) so stripe_ids never collide
                 blob_batches = _encode_stream(
-                    src, stripe_rows, part_id, job_token, seq_start=k << 16
+                    src, stripe_rows, part_id, job_token,
+                    seq_start=k << 16, seq_end=(k + 1) << 16,
                 )
                 if output_dir is None:
                     yield from blob_batches
