@@ -31,10 +31,16 @@ def lz4_block_decompress(src: bytes) -> bytes:
                 lit += b
                 if b != 255:
                     break
+        if i + lit > n:
+            raise ValueError(
+                f"lz4: truncated literal run (need {lit} bytes at {i}, have {n - i})"
+            )
         out += src[i : i + lit]
         i += lit
         if i >= n:  # last sequence: literals only
             break
+        if i + 2 > n:
+            raise ValueError("lz4: truncated match offset")
         offset = src[i] | (src[i + 1] << 8)
         i += 2
         if offset == 0:

@@ -235,30 +235,42 @@ def encode_files(
     native process, physical_exec.rs:57-91) while keeping Spark as the
     scheduler/scale-out layer.
     """
-    import glob as _glob
-    import os as _os
     import uuid as _uuid
 
     import pyarrow.parquet as _pq
+
+    from datafusion_orc_spark.sources.objectstore import resolve_store
 
     if job_token is None:
         job_token = _uuid.uuid4().int & 0xFFFF
     job_token &= 0xFFFF
 
+    # listing through the object-store seam: local paths behave exactly
+    # as before (glob), s3://-style URIs list/glob through fsspec or
+    # pyarrow.fs (ref object_store_reader.rs:39-59 — one IO trait
+    # serves listing, metadata, and data reads alike)
     if isinstance(path_or_glob, (list, tuple)):
         paths = sorted(path_or_glob)
-    elif any(c in path_or_glob for c in "*?["):
-        paths = sorted(_glob.glob(path_or_glob))
-    elif _os.path.isdir(path_or_glob):
-        paths = sorted(_glob.glob(f"{path_or_glob}/*.parquet"))
     else:
-        paths = [path_or_glob]
+        in_store, norm = resolve_store(path_or_glob)
+        if any(c in norm for c in "*?["):
+            paths = in_store.glob(norm)
+        elif in_store.isdir(norm):
+            paths = in_store.list(norm, suffix=".parquet")
+        else:
+            paths = [norm]
     if not paths:
         raise FileNotFoundError(path_or_glob)
 
+    def _open_meta(p: str):
+        st, np_ = resolve_store(p)
+        if type(st).__name__ == "LocalStore":
+            return _pq.ParquetFile(np_)  # let Arrow C++ own the fd
+        return _pq.ParquetFile(st.open_input(np_))
+
     splits: list[tuple[str, int, int]] = []
     for p in paths:
-        n_rg = _pq.ParquetFile(p).metadata.num_row_groups
+        n_rg = _open_meta(p).metadata.num_row_groups
         for start in range(0, n_rg, row_groups_per_split):
             splits.append((p, start, min(row_groups_per_split, n_rg - start)))
 
@@ -284,12 +296,12 @@ def encode_files(
     stats_schema = StructType([f for f in BLOB_SCHEMA.fields if f.name != "data"])
 
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import os
-
         import pyarrow as _pa
         import pyarrow.parquet as pq
 
         from pyspark import TaskContext
+
+        from datafusion_orc_spark.sources.objectstore import LocalStore, resolve_store
 
         # one worker = one core: N workers each spawning pyarrow's
         # default cpu_count-sized thread pool oversubscribes the box N×
@@ -297,13 +309,19 @@ def encode_files(
         _pa.set_cpu_count(1)
         _pa.set_io_thread_count(2)
 
+        out_store = out_path = None
+        if output_dir is not None:
+            out_store, out_path = resolve_store(output_dir)
+            out_store.makedirs(out_path)
         part_id = TaskContext.get().partitionId()
         k = 0
         for b in batches:
             for path, rg_start, n_rg in zip(
                 b.column(0).to_pylist(), b.column(1).to_pylist(), b.column(2).to_pylist()
             ):
-                pf = pq.ParquetFile(path)
+                in_store, in_path = resolve_store(path)
+                local_in = isinstance(in_store, LocalStore)
+                pf = pq.ParquetFile(in_path if local_in else in_store.open_input(in_path))
                 src = pf.iter_batches(
                     batch_size=stripe_rows,
                     row_groups=list(range(rg_start, rg_start + n_rg)),
@@ -320,15 +338,20 @@ def encode_files(
                     yield from blob_batches
                 else:
                     out = pa.Table.from_batches(list(blob_batches), schema=_BLOB_PA_SCHEMA)
-                    os.makedirs(output_dir, exist_ok=True)
                     name = f"part-{part_id:05d}-{k:03d}.parquet"
                     # blob bytes are already entropy-packed: snappy on top
                     # wastes CPU for ~0% gain
-                    pq.write_table(
-                        out, f"{output_dir}/.{name}.tmp",
-                        row_group_size=1 << 20, compression="none",
-                    )
-                    os.replace(f"{output_dir}/.{name}.tmp", f"{output_dir}/{name}")
+                    if isinstance(out_store, LocalStore):
+                        # local: write-then-rename for atomic visibility
+                        pq.write_table(
+                            out, f"{out_path}/.{name}.tmp",
+                            row_group_size=1 << 20, compression="none",
+                        )
+                        out_store.rename(f"{out_path}/.{name}.tmp", f"{out_path}/{name}")
+                    else:
+                        # object stores: a single PUT is already atomic
+                        with out_store.open_output(f"{out_path}/{name}") as fh:
+                            pq.write_table(out, fh, row_group_size=1 << 20, compression="none")
                     yield from out.drop_columns("data").to_batches()
                 k += 1
 

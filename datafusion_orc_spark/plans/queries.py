@@ -952,9 +952,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, (a, b) in enumerate(_MINHASH_PERMS):
         sel.append(F.expr(dl.minhash(SPARK, toks, a, b)).alias(f"mh{i}"))
     sig = docs.select(*sel)
+    # candidate generation is THIN: bands carry doc_id only, so the 4x
+    # band union and both sides of the self-join shuffle ~16 bytes/row
+    # instead of the whole token-set array (at 100 TB the tokset payload
+    # dominated shuffle bytes 4x over; its own DuckDB oracle always had
+    # this shape — cand of ids, then sig joined back for the verify)
     bands = None
     for i in range(len(_MINHASH_PERMS)):
-        one = sig.select("doc_id", "tokset", F.lit(i).alias("band"), F.col(f"mh{i}").alias("bucket"))
+        one = sig.select("doc_id", F.lit(i).alias("band"), F.col(f"mh{i}").alias("bucket"))
         bands = one if bands is None else bands.unionAll(one)
     sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
     bands = bands.join(sizes, ["band", "bucket"]).filter(F.col("bn") <= _JACCARD_BUCKET_CAP)
@@ -965,17 +970,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("x.tokset").alias("ta"),
-            F.col("y.tokset").alias("tb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    pairs = cand.select(
-        "doc_a", "doc_b",
-        (
-            F.size(F.array_intersect("ta", "tb"))
-            / (F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb")))
-        ).alias("jac"),
+    tsets = sig.select("doc_id", "tokset")
+    pairs = (
+        cand.join(tsets.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("ta")), "doc_a")
+        .join(tsets.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("tb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (
+                F.size(F.array_intersect("ta", "tb"))
+                / (F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb")))
+            ).alias("jac"),
+        )
     )
     return (
         pairs.filter(F.col("jac") >= 0.5)
@@ -1031,17 +1039,19 @@ _LSH_BANDS, _LSH_BITS, _EMB_DIM = 8, 4, 64
 
 
 def _lsh_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, band, bucket, q) — one row per vector per band; single scan
-    (buckets computed side-by-side, then posexplode)."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "q", F.expr(_QUANT_SPARK.format(col="embedding"))
-    )
+    """(vec_id, band, bucket) — one row per vector per band; single scan
+    (buckets computed side-by-side, then posexplode). THIN by design: no
+    embedding payload rides the exploded rows, so the 8x band fan-out and
+    the (band, bucket) candidate self-joins shuffle ~20 bytes/row; the
+    verify stages join the quantized vectors back by vec_id (the same
+    candidate-thinning shape as the n-gram Jaccard path)."""
+    emb = _quantized_emb(spark, sf_dir)
     buckets = F.array(*[
         F.expr(dl.lsh_band_bucket(SPARK, "q", b, _LSH_BITS, _EMB_DIM))
         for b in range(_LSH_BANDS)
     ])
     return emb.select(
-        "vec_id", "q", F.posexplode(buckets).alias("band", "bucket")
+        "vec_id", F.posexplode(buckets).alias("band", "bucket")
     )
 
 
@@ -1077,33 +1087,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup clusters are near-cliques, so 2-4 rounds); oracle = a
     recursive CTE computing the same min-reachable-label in DuckDB.
     Output: (cluster_label = min doc_id, size) per component."""
+    from datafusion_orc_spark.functions.graph import min_label_components
+
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        .cache()
-    )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    for _ in range(10):
-        prop = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
-        )
-        new_labels = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
-        ).cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )  # driver-side scalar: convergence check, not row data
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = min_label_components(pairs, "doc_a", "doc_b")
     out = (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("size"))
@@ -1146,9 +1133,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
         .distinct()
     )
-    q = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_QUANT_SPARK.format(col="embedding")).alias("q")
-    )
+    q = _quantized_emb(spark, sf_dir).select("vec_id", "q")
     pairs = (
         cand.join(q.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa")), "vec_a")
         .join(q.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb")), "vec_b")
@@ -1179,6 +1164,17 @@ SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.5 ORDER BY vec_a, vec_b
 # (round(x*1000)), compute exact integer dot products and squared norms,
 # then a single double sqrt/divide — IEEE-identical in Spark and DuckDB.
 _QUANT_SPARK = "transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + integer-quantized ``q``, CACHED: every ANN/dedup query
+    builds from this one plan, so Spark's cache manager (which matches
+    canonicalized plan subtrees) computes the quantize pass once per
+    session instead of once per query branch (ann_recall alone used to
+    recompute it four times)."""
+    return _t(spark, sf_dir, "embeddings").withColumn(
+        "q", F.expr(_QUANT_SPARK.format(col="embedding"))
+    ).cache()
 _COS_SPARK = (
     "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE) / "
     "(sqrt(CAST(aggregate(qa, 0L, (acc, v) -> acc + v * v) AS DOUBLE)) * "
@@ -1193,9 +1189,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with vec_id tiebreak (deterministic across engines)."""
     from pyspark.sql.window import Window
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "q", F.expr(_QUANT_SPARK.format(col="embedding"))
-    )
+    emb = _quantized_emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5).alias("a")
     c = emb.alias("b")
     pairs = (
@@ -1261,9 +1255,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_QUANT_SPARK.format(col="embedding")).alias("q")
-    )
+    q = _quantized_emb(spark, sf_dir).select("vec_id", "q")
     scored = (
         cand.join(q.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa")), "query_id")
         .join(q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb")), "neighbor_id")
@@ -1307,9 +1299,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — NOT an all-pairs join; search touches ~n·probes/C vectors)."""
     from pyspark.sql.window import Window
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(_QUANT_SPARK.format(col="embedding")).alias("q")
-    )
+    emb = _quantized_emb(spark, sf_dir).select("vec_id", "q")
     cent = emb.filter(F.col("vec_id") < _IVF_LISTS).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("qc")
     )

@@ -107,21 +107,36 @@ def read_orc_distributed(
     (name -> ORC column mask, the physical_exec.rs:69-78 analogue);
     ``batch_rows`` bounds each streamed Arrow batch (file_source.rs:31).
     ``opener``: optional picklable ``path -> seekable binary file``
-    callable — the ObjectStoreReader seam (object_store_reader.rs:39-59):
-    pass e.g. a top-level ``lambda``-free fsspec wrapper to scan s3://hdfs://
-    paths with ranged GETs; None = local filesystem.
+    callable — the ObjectStoreReader seam (object_store_reader.rs:39-59).
+    When None, the path's scheme picks the store automatically
+    (sources/objectstore.py): plain paths read through os.open, while
+    ``s3://``-style URIs get ranged reads + listing through
+    fsspec/pyarrow.fs, on the driver (metadata) and executors (stripes)
+    alike.
     ``file_extension``: reject non-matching paths, the reference's
     extension validation (lib.rs:138-146); None disables the check.
     """
     from pyspark.sql.pandas.types import from_arrow_schema
 
     from datafusion_orc_spark.operators.encode import _ensure_workers_can_import
-
-    paths = (
-        sorted(_glob.glob(path_or_glob))
-        if opener is None and any(c in path_or_glob for c in "*?[")
-        else [path_or_glob]
+    from datafusion_orc_spark.sources.objectstore import (
+        LocalStore,
+        StoreOpener,
+        resolve_store,
     )
+
+    if opener is None:
+        store, norm = resolve_store(path_or_glob)
+        if any(c in norm for c in "*?["):
+            paths = store.glob(norm)
+        elif store.isdir(norm):
+            paths = store.list(norm, suffix=file_extension)
+        else:
+            paths = [norm]
+        if not isinstance(store, LocalStore):
+            opener = StoreOpener(store)
+    else:
+        paths = [path_or_glob]
     if not paths:
         raise FileNotFoundError(path_or_glob)
     if file_extension is not None:

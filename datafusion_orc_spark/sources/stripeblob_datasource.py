@@ -18,15 +18,22 @@ src/file_format.rs:118-124):
   stats interface is stubbed — file_format.rs:108-116). All filters are
   also returned to Spark, which re-applies them post-scan (standard
   best-effort pushdown semantics).
+- **column projection** via ``.option("columns", "a,b")`` (the Python
+  DataSource API does not forward Spark's column pruning yet): only the
+  requested blob rows are decoded AND retained (physical_exec.rs:69-78
+  analogue).
+- **streaming reads**: each partition iterates its blob file's parquet
+  row groups, keeps blob bytes as Arrow buffers (memoryviews, no
+  per-blob copy), and decodes each stripe as soon as its projected
+  columns are complete — peak memory is O(stripe), not O(file).
 
-Each partition decodes with the engine's Arrow kernels and yields
-``pyarrow.RecordBatch`` directly (zero row-level Python).
+Paths resolve through sources/objectstore.py, so s3://-style blob
+tables work wherever local ones do.
 """
 
 from __future__ import annotations
 
 import json
-import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -42,28 +49,37 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from datafusion_orc_spark.sources.objectstore import LocalStore, resolve_store
+
 
 class _BlobFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
 
 
+def _load_manifest(store, path: str) -> dict | None:
+    mp = f"{path.rstrip('/')}/_MANIFEST.json"
+    if not store.exists(mp):
+        return None
+    with store.open_input(mp) as f:
+        return json.loads(f.read().decode())
+
+
 class StripeBlobReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType):
         self._schema = schema
         self._prune: dict[str, list] = {}
-        manifest_path = os.path.join(path, "_MANIFEST.json")
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                manifest = json.load(f)
-            chunk_dirs = [os.path.join(path, f"chunk={c}") for c in sorted(manifest.get("chunks", {}))]
+        store, norm = resolve_store(path)
+        manifest = _load_manifest(store, norm)
+        if manifest is not None and "chunks" in manifest:
+            chunk_dirs = [
+                f"{norm.rstrip('/')}/chunk={c}" for c in sorted(manifest["chunks"])
+            ]
         else:
-            chunk_dirs = [path]
+            chunk_dirs = [norm]
         self._files: list[str] = []
         for d in chunk_dirs:
-            for fn in sorted(os.listdir(d)):
-                if fn.endswith(".parquet"):
-                    self._files.append(os.path.join(d, fn))
+            self._files.extend(store.list(d, suffix=".parquet"))
 
     def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
         """Record min/max-provable filters for stripe pruning; return
@@ -90,39 +106,74 @@ class StripeBlobReader(DataSourceReader):
         return [_BlobFilePartition(p) for p in self._files]
 
     def read(self, partition: _BlobFilePartition):
+        import numpy as np
+        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
         from datafusion_orc_spark.format.stripe import decode_stripe
 
         arrow_schema = to_arrow_schema(self._schema)
-        t = pq.read_table(partition.path)
-        stripe_ids = t.column("stripe_id").to_pylist()
-        columns = t.column("column").to_pylist()
-        datas = t.column("data").to_pylist()
-        vmins = t.column("vmin").to_pylist()
-        vmaxs = t.column("vmax").to_pylist()
-        by_stripe: dict[int, dict[str, bytes]] = {}
-        stats: dict[int, dict[str, tuple]] = {}
-        for sid, col, data, lo, hi in zip(stripe_ids, columns, datas, vmins, vmaxs):
-            by_stripe.setdefault(sid, {})[col] = data
-            if lo is not None:
-                stats.setdefault(sid, {})[col] = (lo, hi)
-        for sid in sorted(by_stripe):
-            pruned = False
-            for col, (lo, hi) in self._prune.items():
-                s = stats.get(sid, {}).get(col)
-                if s is not None:
-                    if (lo is not None and s[1] < lo) or (hi is not None and s[0] > hi):
-                        pruned = True
-                        break
-            if pruned:
-                continue  # stripe provably contains no matching rows
-            yield decode_stripe(by_stripe[sid], arrow_schema)
+        names = list(arrow_schema.names)
+        expected = set(names)
+
+        store, norm = resolve_store(partition.path)
+        pf = pq.ParquetFile(norm if isinstance(store, LocalStore) else store.open_input(norm))
+
+        # Streamed + buffer-backed: iterate parquet row groups, hold each
+        # blob as a memoryview into the Arrow data buffer (the memoryview
+        # pins the batch buffer alive — no per-blob bytes copy), decode a
+        # stripe the moment its projected columns are all present, drop it.
+        pending: dict[int, dict[str, memoryview]] = {}
+        skipped: set[int] = set()
+        for batch in pf.iter_batches(
+            batch_size=1 << 16,
+            columns=["stripe_id", "column", "data", "vmin", "vmax"],
+            use_threads=False,
+        ):
+            sids = batch.column(0).to_pylist()
+            cols = batch.column(1).to_pylist()
+            data_arr = batch.column(2)
+            vmins = batch.column(3).to_pylist()
+            vmaxs = batch.column(4).to_pylist()
+            bufs = data_arr.buffers()
+            width = 8 if data_arr.type.equals(pa.large_binary()) else 4
+            off_dt = np.int64 if width == 8 else np.int32
+            offs = np.frombuffer(
+                bufs[1], dtype=off_dt, count=len(data_arr) + 1,
+                offset=data_arr.offset * width,
+            )
+            mv = memoryview(bufs[2])
+            for i, (sid, col) in enumerate(zip(sids, cols)):
+                if sid in skipped or col not in expected:
+                    continue
+                lo, hi = vmins[i], vmaxs[i]
+                if lo is not None and col in self._prune:
+                    plo, phi = self._prune[col]
+                    if (plo is not None and hi < plo) or (phi is not None and lo > phi):
+                        # stripe provably empty under the filters: drop it,
+                        # including columns of it buffered earlier
+                        skipped.add(sid)
+                        pending.pop(sid, None)
+                        continue
+                got = pending.setdefault(sid, {})
+                got[col] = mv[offs[i] : offs[i + 1]]
+                if len(got) == len(expected):
+                    yield decode_stripe(got, arrow_schema, columns=names)
+                    del pending[sid]
+        if pending:
+            raise ValueError(
+                f"stripeblob: {len(pending)} stripe(s) ended the file with "
+                f"missing columns (e.g. {sorted(pending)[:4]}) — blob table "
+                f"is truncated or was rewritten mid-read"
+            )
 
 
 class StripeBlobDataSource(DataSource):
-    """``spark.read.format("stripeblob").load(path)``."""
+    """``spark.read.format("stripeblob").load(path)``.
+
+    Options: ``columns`` — comma-separated projection (only these blob
+    rows are decoded; the result schema is limited to them)."""
 
     @classmethod
     def name(cls) -> str:
@@ -130,14 +181,26 @@ class StripeBlobDataSource(DataSource):
 
     def schema(self) -> StructType:
         path = self.options["path"]
-        with open(os.path.join(path, "_MANIFEST.json")) as f:
-            manifest = json.load(f)
-        if "schema_json" not in manifest:
+        store, norm = resolve_store(path)
+        manifest = _load_manifest(store, norm)
+        if manifest is None or "schema_json" not in manifest:
             raise ValueError("manifest has no schema_json; pass .schema(...) explicitly")
-        return StructType.fromJson(json.loads(manifest["schema_json"]))
+        full = StructType.fromJson(json.loads(manifest["schema_json"]))
+        return self._project(full)
+
+    def _project(self, schema: StructType) -> StructType:
+        cols = self.options.get("columns")
+        if not cols:
+            return schema
+        keep = [c.strip() for c in cols.split(",") if c.strip()]
+        by_name = {f.name: f for f in schema.fields}
+        missing = [c for c in keep if c not in by_name]
+        if missing:
+            raise ValueError(f"stripeblob: projected column(s) not in schema: {missing}")
+        return StructType([by_name[c] for c in keep])
 
     def reader(self, schema: StructType) -> StripeBlobReader:
-        return StripeBlobReader(self.options["path"], schema)
+        return StripeBlobReader(self.options["path"], self._project(schema))
 
 
 def register(spark) -> None:

@@ -137,20 +137,36 @@ def sessionize_events(
                 "n_events": [n],
             })
             return
-        rows = []
-        start_us, end_us, n = state.get if state.exists else (None, None, 0)
-        for pdf in pdfs:
-            ts_us = (pdf["ts"].astype("int64") // 1000).sort_values()
-            for t in ts_us:
-                if start_us is None:
-                    start_us, end_us, n = int(t), int(t), 1
-                elif t - end_us <= gap_seconds * 1_000_000:
-                    end_us, n = max(end_us, int(t)), n + 1
-                else:  # gap exceeded: close the old session, open a new one
-                    rows.append((user_id,
-                                 _dt.datetime.utcfromtimestamp(start_us / 1e6),
-                                 _dt.datetime.utcfromtimestamp(end_us / 1e6), n))
-                    start_us, end_us, n = int(t), int(t), 1
+        import numpy as np
+
+        # Out-of-order safe: gather ALL event times in the micro-batch
+        # (each pandas chunk arrives unsorted relative to the others),
+        # globally sort, and interval-merge together with the existing
+        # state interval — an event EARLIER than the session start is
+        # handled symmetrically (extends start backward when within gap,
+        # or closes into its own earlier session when beyond it).
+        chunks = [(pdf["ts"].astype("int64") // 1000).to_numpy() for pdf in pdfs]
+        ts_us = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+        gap_us = gap_seconds * 1_000_000
+        pending = [tuple(state.get)] if state.exists else []
+        pending += [(int(t), int(t), 1) for t in ts_us]
+        pending.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[tuple[int, int, int]] = []
+        for s, e, cnt in pending:
+            if merged and s - merged[-1][1] <= gap_us:
+                ps, pe, pn = merged[-1]
+                merged[-1] = (ps, max(pe, e), pn + cnt)
+            else:
+                merged.append((s, e, cnt))
+        if not merged:
+            return
+        rows = [
+            (user_id,
+             _dt.datetime.utcfromtimestamp(s / 1e6),
+             _dt.datetime.utcfromtimestamp(e / 1e6), cnt)
+            for s, e, cnt in merged[:-1]  # close every session but the live one
+        ]
+        start_us, end_us, n = merged[-1]
         state.update((start_us, end_us, n))
         state.setTimeoutTimestamp(end_us // 1000 + gap_seconds * 1000)
         if rows:

@@ -113,3 +113,50 @@ def test_decode_prune_is_broadcast(spark):
     dec = decode_table(blobs, None, df.schema, prune={"l_orderkey": (0, 100)})
     plan = _plan(dec)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_jaccard_candidate_join_is_thin(spark):
+    """Candidate generation must not shuffle token payloads: the band
+    union and the (band, bucket) self-join carry doc_id only; toksets
+    join back by doc_id for the verify stage (the r2 verdict's #4 —
+    the tokset array rode the 4x band union and both join sides)."""
+    from datafusion_orc_spark.plans.queries import q_dedup_ngram_jaccard
+
+    plan = _plan(q_dedup_ngram_jaccard(spark, SF_DIR))
+    # every Exchange's output schema in the formatted plan lists its
+    # columns; tokset must only appear in the post-candidate verify joins
+    # (hashpartitioning on doc_a/doc_b), never under band/bucket exchanges
+    for block in plan.split("Exchange")[1:]:
+        head = block.split("\n", 1)[0]
+        if "band" in head and "bucket" in head:
+            assert "tokset" not in head, head
+
+
+def test_lsh_bands_are_thin(spark):
+    """The exploded LSH band rows must not carry the quantized embedding
+    array through the candidate self-join."""
+    from datafusion_orc_spark.plans.queries import _lsh_bands_df
+
+    bands = _lsh_bands_df(spark, SF_DIR)
+    assert bands.columns == ["vec_id", "band", "bucket"]
+
+
+def test_min_label_components_chain_diameter_8(spark):
+    """Chain graph a0-a1-...-a8 (diameter 8): propagation must converge
+    (label eccentricity > the old 10-round cap's comfort zone is the
+    regression this guards) and label every node with the chain min."""
+    from datafusion_orc_spark.functions.graph import min_label_components
+
+    chain = [(f"a{i}", f"a{i+1}") for i in range(8)]
+    pairs = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    labels = {r["node"]: r["label"] for r in min_label_components(pairs).collect()}
+    assert labels == {f"a{i}": "a0" for i in range(9)}
+
+
+def test_min_label_components_raises_beyond_max_rounds(spark):
+    from datafusion_orc_spark.functions.graph import min_label_components
+
+    chain = [(f"b{i:02d}", f"b{i+1:02d}") for i in range(6)]
+    pairs = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    with pytest.raises(RuntimeError, match="no convergence"):
+        min_label_components(pairs, max_rounds=2)
