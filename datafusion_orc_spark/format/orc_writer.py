@@ -14,9 +14,13 @@ header — the corpus the reference ships is SNAPPY), DICTIONARY_V2 with
 SORTED symbol tables for strings (ORC writer heuristic: dictionary when
 distinct/total <= 0.8, mirroring orc.dictionary.key.threshold), one type
 tree of boolean/int8/16/32/64/float/double/string/binary/list, nullable
-via PRESENT streams, multiple stripes, rowIndexStride=0 (no ROW_INDEX
-streams). ORC requires a ROW_INDEX per column when rowIndexStride>0;
-setting it to 0 keeps readers happy without index streams.
+via PRESENT streams, multiple stripes, and statistics: per-stripe +
+file-level ColumnStatistics (footer field 7 + Metadata section) and
+ROW_INDEX streams (one row group per stripe — rowIndexStride defaults
+to max(10000, stripe_rows) — so index positions are the zero stream
+starts with the spec arity per stream kind), which lets ORC-Java
+SearchArgument / ORC C++ predicate pushdown skip our stripes and lets
+Spark answer min/max/count from footer stats alone.
 """
 
 from __future__ import annotations
@@ -101,6 +105,135 @@ def _field_bytes(tag: int, data: bytes) -> bytes:
 def _packed_varints(tag: int, values: list[int]) -> bytes:
     payload = b"".join(_varint(v) for v in values)
     return _field_bytes(tag, payload)
+
+
+def _field_sint(tag: int, value: int) -> bytes:
+    """proto sint64: zigzag + varint."""
+    zz = (value << 1) ^ (value >> 63)
+    return _varint((tag << 3) | 0) + _varint(zz & 0xFFFFFFFFFFFFFFFF)
+
+
+def _field_double(tag: int, value: float) -> bytes:
+    import struct
+
+    return _varint((tag << 3) | 1) + struct.pack("<d", value)
+
+
+# ------------------------------------------------------------ column stats
+#
+# ColumnStatistics (ORC v1 proto): 1=numberOfValues 2=intStatistics
+# 3=doubleStatistics 4=stringStatistics 5=bucketStatistics
+# 8=binaryStatistics 10=hasNull. Int min/max/sum are sint64;
+# double stats are doubles; string sum = total byte length.
+
+def _collect_stats(arr: pa.Array, typ: pa.DataType) -> dict:
+    n = len(arr)
+    nulls = arr.null_count
+    s: dict = {"n": n - nulls, "has_null": nulls > 0, "kind": None}
+    dense = arr.drop_null() if nulls else arr
+    if len(dense) == 0:
+        return s
+    if typ == pa.bool_():
+        s["kind"] = "bucket"
+        s["true_count"] = int(pc.sum(dense).as_py() or 0)
+    elif typ in (pa.int8(), pa.int16(), pa.int32(), pa.int64()) or pa.types.is_date32(typ):
+        v = dense.cast(pa.int64())
+        mm = pc.min_max(v)
+        s["kind"] = "int"
+        s["min"], s["max"] = mm["min"].as_py(), mm["max"].as_py()
+        total = int(pc.sum(v).as_py())
+        if -(1 << 63) <= total < (1 << 63):
+            s["sum"] = total
+    elif typ in (pa.float32(), pa.float64()):
+        mm = pc.min_max(dense)
+        s["kind"] = "double"
+        s["min"], s["max"] = float(mm["min"].as_py()), float(mm["max"].as_py())
+        s["sum"] = float(pc.sum(dense).as_py())
+    elif typ == pa.string():
+        mm = pc.min_max(dense)
+        s["kind"] = "string"
+        s["min"], s["max"] = mm["min"].as_py(), mm["max"].as_py()
+        s["sum"] = int(pc.sum(pc.utf8_length(dense)).as_py() or 0)
+    elif typ == pa.binary():
+        s["kind"] = "binary"
+        s["sum"] = int(pc.sum(pc.binary_length(dense)).as_py() or 0)
+    return s
+
+
+def _merge_stats(a: dict, b: dict) -> dict:
+    out = {
+        "n": a["n"] + b["n"],
+        "has_null": a["has_null"] or b["has_null"],
+        "kind": a["kind"] or b["kind"],
+    }
+    if a.get("kind") is None:
+        return {**b, **out}
+    if b.get("kind") is None:
+        return {**a, **out}
+    if "min" in a or "min" in b:
+        mins = [x["min"] for x in (a, b) if "min" in x]
+        maxs = [x["max"] for x in (a, b) if "max" in x]
+        out["min"], out["max"] = min(mins), max(maxs)
+    if "sum" in a and "sum" in b:
+        total = a["sum"] + b["sum"]
+        if out["kind"] != "int" or -(1 << 63) <= total < (1 << 63):
+            out["sum"] = total
+    if "true_count" in a or "true_count" in b:
+        out["true_count"] = a.get("true_count", 0) + b.get("true_count", 0)
+    return out
+
+
+def _serialize_stats(s: dict) -> bytes:
+    body = _field_varint(1, s["n"])
+    kind = s.get("kind")
+    if kind == "int" and "min" in s:
+        sub = _field_sint(1, s["min"]) + _field_sint(2, s["max"])
+        if "sum" in s:
+            sub += _field_sint(3, s["sum"])
+        body += _field_bytes(2, sub)
+    elif kind == "double" and "min" in s:
+        sub = _field_double(1, s["min"]) + _field_double(2, s["max"])
+        if "sum" in s:
+            sub += _field_double(3, s["sum"])
+        body += _field_bytes(3, sub)
+    elif kind == "string" and "min" in s:
+        sub = (
+            _field_bytes(1, s["min"].encode())
+            + _field_bytes(2, s["max"].encode())
+            + _field_sint(3, s.get("sum", 0))
+        )
+        body += _field_bytes(4, sub)
+    elif kind == "bucket":
+        body += _field_bytes(5, _packed_varints(1, [s.get("true_count", 0)]))
+    elif kind == "binary":
+        body += _field_bytes(8, _field_sint(1, s.get("sum", 0)))
+    body += _field_varint(10, 1 if s["has_null"] else 0)
+    return body
+
+
+# positions-per-stream arity for RowIndexEntry (ORC v1 "Row Group Index"):
+# uncompressed — raw byte streams record [byte offset]; RLE streams add
+# [values into run]; boolean adds [bit offset]. Compression prepends a
+# [chunk offset] to each (handled by the +1 in _entry_positions).
+_POS_RAW, _POS_RLE, _POS_BOOL = 1, 2, 3
+
+
+def _stream_pos_arity(kind: int, typ: pa.DataType, enc: int) -> int:
+    if kind == proto.S_PRESENT:
+        return _POS_BOOL
+    if kind == proto.S_DATA:
+        if typ == pa.bool_():
+            return _POS_BOOL
+        if typ in (pa.float32(), pa.float64()):
+            return _POS_RAW
+        if typ in (pa.string(), pa.binary()) and enc != proto.E_DICTIONARY_V2:
+            return _POS_RAW
+        return _POS_RLE  # ints, byte RLE, dictionary indices
+    if kind == proto.S_LENGTH:
+        # list/string-direct LENGTH is row-variant; a dictionary's entry
+        # lengths are per-symbol, not per-row — never positioned
+        return 0 if enc == proto.E_DICTIONARY_V2 else _POS_RLE
+    return 0  # DICTIONARY_DATA etc: not positioned (not row-variant)
 
 
 # ------------------------------------------------------------ type tree
@@ -201,20 +334,40 @@ def write_orc(
     stripe_rows: int = 65536,
     compression: str = "none",
     block_size: int = 262144,
+    row_index_stride: int | None = None,
 ) -> None:
     """Write an Arrow table as an ORC v1 file.
 
     ``compression``: none|snappy|zlib|lz4|zstd — applied per-stream (and
     to stripe/file footers) in <=block_size chunks, matching the corpus
     the reference ships (SNAPPY, block 262144).
+
+    ``row_index_stride``: ROW_INDEX granularity; defaults to
+    max(10000, stripe_rows) so each stripe holds exactly ONE row group —
+    every index entry's positions are the stream starts (all zeros, with
+    the spec arity per stream kind), which keeps seek semantics trivially
+    correct while giving external readers (ORC-Java SearchArgument, ORC
+    C++) real min/max row-group stats to skip stripes with. 0 disables
+    the index. Per-stripe + file-level ColumnStatistics are always
+    written (footer field 7 + the Metadata section), enabling stats-only
+    answers (e.g. Spark's ORC aggregate pushdown) without touching rows.
     """
     comp = _COMPRESSION_KINDS[compression.lower()]
     table = table.combine_chunks()
+    if row_index_stride is None:
+        row_index_stride = max(10000, stripe_rows)
+    if row_index_stride and row_index_stride < stripe_rows:
+        raise ValueError(
+            f"row_index_stride {row_index_stride} < stripe_rows {stripe_rows}: "
+            f"this writer emits one row group per stripe; raise the stride or "
+            f"lower stripe_rows"
+        )
     # pre-order ORC type ids, root struct = 0
     types, _arrow_types = _reorder_root_first(table.schema)
 
     out = bytearray(MAGIC)
     stripe_infos: list[bytes] = []
+    stripe_stats: list[list[dict]] = []  # per stripe: per ORC column id
     total_rows = table.num_rows
 
     for start in range(0, max(total_rows, 1), stripe_rows):
@@ -226,23 +379,51 @@ def write_orc(
         col_arrays: dict[int, tuple[pa.Array, pa.DataType]] = {}
         # map ORC ids -> arrays via recursive walk identical to the tree build
         _assign_arrays(table.schema, batch_tbl, col_arrays)
-        stream_bytes: list[bytes] = []
-        stream_meta: list[tuple[int, int, int]] = []  # (column, kind, length)
+        data_bytes: list[bytes] = []
+        data_meta: list[tuple[int, int, int]] = []  # (column, kind, length)
         encodings: list[tuple[int, int]] = [(proto.E_DIRECT, 0)]  # root struct
+        # root struct stats: row count, no nulls at the root
+        stats: list[dict] = [
+            {"n": batch_tbl.num_rows, "has_null": False, "kind": None}
+        ]
+        positions: list[list[int]] = [[]]  # root: no streams to position
         for col_id in sorted(col_arrays):
             arr, typ = col_arrays[col_id]
             streams, enc, dict_size, _children = _encode_orc_column(arr, typ)
             encodings.append((enc, dict_size))
+            stats.append(_collect_stats(arr, typ))
+            arity = sum(
+                _stream_pos_arity(kind, typ, enc) + (1 if comp else 0)
+                if _stream_pos_arity(kind, typ, enc) else 0
+                for kind, _data in streams
+            )
+            positions.append([0] * arity)
             for kind, data in streams:
                 framed = compress_stream(data, comp, block_size)
-                stream_meta.append((col_id, kind, len(framed)))
-                stream_bytes.append(framed)
-        data_len = sum(len(b) for b in stream_bytes)
-        for b in stream_bytes:
+                data_meta.append((col_id, kind, len(framed)))
+                data_bytes.append(framed)
+        # ROW_INDEX streams first (the stripe's index region): one entry
+        # per row group — exactly one per stripe by construction, so every
+        # position is a zero-offset with the spec arity for its stream
+        index_meta: list[tuple[int, int, int]] = []
+        index_bytes: list[bytes] = []
+        if row_index_stride:
+            for col_id in range(len(stats)):
+                entry = _field_bytes(2, _serialize_stats(stats[col_id]))
+                if positions[col_id]:
+                    entry = _packed_varints(1, positions[col_id]) + entry
+                ri = compress_stream(_field_bytes(1, entry), comp, block_size)
+                index_meta.append((col_id, proto.S_ROW_INDEX, len(ri)))
+                index_bytes.append(ri)
+        index_len = sum(len(b) for b in index_bytes)
+        data_len = sum(len(b) for b in data_bytes)
+        for b in index_bytes:
             out += b
-        # stripe footer
+        for b in data_bytes:
+            out += b
+        # stripe footer (index streams listed first, matching byte layout)
         sf = b""
-        for col, kind, length in stream_meta:
+        for col, kind, length in index_meta + data_meta:
             sf += _field_bytes(1, _field_varint(1, kind) + _field_varint(2, col) + _field_varint(3, length))
         for enc, dict_size in encodings:
             body = _field_varint(1, enc)
@@ -253,23 +434,41 @@ def write_orc(
         out += sf
         si = (
             _field_varint(1, stripe_offset)
-            + _field_varint(2, 0)  # indexLength
+            + _field_varint(2, index_len)
             + _field_varint(3, data_len)
             + _field_varint(4, len(sf))
             + _field_varint(5, batch_tbl.num_rows)
         )
         stripe_infos.append(si)
+        stripe_stats.append(stats)
         if total_rows == 0:
             break
 
     content_length = len(out)
+    # Metadata section: per-stripe ColumnStatistics (what ORC-Java's
+    # SearchArgument evaluates to skip whole stripes before any row read)
+    metadata = b""
+    for stats in stripe_stats:
+        ss = b"".join(_field_bytes(1, _serialize_stats(s)) for s in stats)
+        metadata += _field_bytes(1, ss)
+    metadata = compress_stream(metadata, comp, block_size)
+    out += metadata
+
     footer = _field_varint(1, 3) + _field_varint(2, content_length)
     for si in stripe_infos:
         footer += _field_bytes(3, si)
     for tb in types:
         footer += _field_bytes(4, tb)
     footer += _field_varint(6, total_rows)
-    footer += _field_varint(8, 0)  # rowIndexStride=0: no ROW_INDEX streams
+    # file-level ColumnStatistics: per-column merge across stripes
+    if stripe_stats:
+        n_cols = len(stripe_stats[0])
+        for col_id in range(n_cols):
+            merged = stripe_stats[0][col_id]
+            for stats in stripe_stats[1:]:
+                merged = _merge_stats(merged, stats[col_id])
+            footer += _field_bytes(7, _serialize_stats(merged))
+    footer += _field_varint(8, row_index_stride)
     footer = compress_stream(footer, comp, block_size)
     out += footer
     ps = (
@@ -277,7 +476,7 @@ def write_orc(
         + _field_varint(2, comp)
         + _field_varint(3, block_size)
         + _packed_varints(4, [0, 12])
-        + _field_varint(5, 0)  # metadata length
+        + _field_varint(5, len(metadata))
         + _field_bytes(8000, MAGIC)
     )
     out += ps

@@ -78,8 +78,76 @@ CODEC_NAMES = {v: k for k, v in CODECS.items()}
 (
     K_PRESENT, K_DATA, K_LENGTH, K_DICT_DATA, K_DICT_LENGTH,
     K_FSST_TABLE, K_META, K_EXC_POS, K_EXC_HIGH,
-    K_RUN_POS, K_RUN_LEN, K_RUN_VAL,
-) = range(12)
+    K_RUN_POS, K_RUN_LEN, K_RUN_VAL, K_ROWIDX,
+) = range(13)
+
+# D19 (full): per-SUB_BLOCK_ROWS min/max inside each int column blob —
+# the engine's ROW_INDEX stride (the reference corpus declares
+# row_index_stride 10000; ORC keeps one index entry per stride). Stripes
+# that survive [vmin, vmax] pruning can then skip the sub-blocks whose
+# local range still cannot match (decode_table prune= / where=).
+SUB_BLOCK_ROWS = 8192
+
+
+def _rowidx_stream(
+    vals: np.ndarray, row_bounds: np.ndarray | None = None
+) -> tuple[bytes, int, int] | None:
+    """-> (stream bytes, global min, global max), or None for small columns.
+
+    The global min/max fall out of the per-block reduceat (min-of-mins),
+    so emitting the index REPLACES the column's two full-array min/max
+    passes instead of adding to them — zero extra memory traffic.
+
+    ``row_bounds``: for array columns, the flat-value offset of each row
+    (len n_rows+1) — blocks are ROW-aligned, stats cover the rows' values.
+    """
+    if row_bounds is None:
+        n_rows = len(vals)
+        if n_rows < 2 * SUB_BLOCK_ROWS:
+            return None
+        starts = np.arange(0, n_rows, SUB_BLOCK_ROWS)
+        vstarts = starts
+    else:
+        n_rows = len(row_bounds) - 1
+        if n_rows < 2 * SUB_BLOCK_ROWS or len(vals) == 0:
+            return None
+        starts = np.arange(0, n_rows, SUB_BLOCK_ROWS)
+        vstarts = row_bounds[starts]
+        vstarts = np.minimum(vstarts, len(vals) - 1)  # guard empty tail rows
+    mins = np.minimum.reduceat(vals, vstarts).astype(np.int64)
+    maxs = np.maximum.reduceat(vals, vstarts).astype(np.int64)
+    inter = np.empty(2 * len(starts), dtype=np.int64)
+    inter[0::2] = mins
+    inter[1::2] = maxs
+    stream = (
+        varint_encode_signed(np.array([SUB_BLOCK_ROWS, len(starts)], dtype=np.int64))
+        + varint_encode_signed(inter)
+    )
+    return stream, int(mins.min()), int(maxs.max())
+
+
+def read_block_stats(blob: bytes) -> tuple[int, np.ndarray, np.ndarray] | None:
+    """Parse ONLY the K_ROWIDX stream of a blob -> (block_rows, mins,
+    maxs), without decoding any data. None when the blob carries no
+    sub-block index."""
+    _codec, _n, _nulls, streams = _parse(blob)
+    raw = streams.get(K_ROWIDX)
+    if raw is None:
+        return None
+    hdr, pos = varint_decode_signed(raw, 2)
+    block_rows, n_blocks = int(hdr[0]), int(hdr[1])
+    inter, _ = varint_decode_signed(raw[pos:], 2 * n_blocks)
+    return block_rows, inter[0::2], inter[1::2]
+
+
+def surviving_blocks(blob: bytes, lo: int, hi: int) -> np.ndarray | None:
+    """Block ids whose [min, max] intersects [lo, hi]; None = no index
+    (caller must keep every row)."""
+    bs = read_block_stats(blob)
+    if bs is None:
+        return None
+    _rows, mins, maxs = bs
+    return np.flatnonzero((maxs >= lo) & (mins <= hi))
 
 
 def _assemble(codec: str, n_rows: int, n_nulls: int, streams: list[tuple[int, bytes]]) -> bytes:
@@ -261,9 +329,14 @@ def encode_column(arr: pa.Array | pa.ChunkedArray) -> tuple[bytes, dict]:
             vals = dense.to_numpy(zero_copy_only=False)
             if vals.dtype not in (np.int32, np.int64):
                 vals = vals.astype(np.int32 if vals.dtype.itemsize <= 4 else np.int64)
-        if len(vals):
+        ridx = _rowidx_stream(vals) if not n_nulls else None
+        if ridx is not None:
+            stats["min"], stats["max"] = ridx[1], ridx[2]
+        elif len(vals):
             stats["min"], stats["max"] = int(vals.min()), int(vals.max())
         codec, streams = _int_data_streams(vals, vmin=stats.get("min"), vmax=stats.get("max"))
+        if ridx is not None:
+            streams = [(K_ROWIDX, ridx[0])] + streams
         return fin(codec, streams, np.ascontiguousarray(vals))
 
     if pa.types.is_boolean(typ):
@@ -311,12 +384,21 @@ def encode_column(arr: pa.Array | pa.ChunkedArray) -> tuple[bytes, dict]:
             vals = flat.to_numpy(zero_copy_only=False)
             if vals.dtype not in (np.int32, np.int64):
                 vals = vals.astype(np.int32 if vals.dtype.itemsize <= 4 else np.int64)
-            if len(vals):
+            ridx = None
+            if not n_nulls and len(lengths) >= 2 * SUB_BLOCK_ROWS:
+                bounds = np.zeros(len(lengths) + 1, dtype=np.int64)
+                np.cumsum(lengths, out=bounds[1:])
+                ridx = _rowidx_stream(vals, row_bounds=bounds)
+            if ridx is not None:
+                stats["min"], stats["max"] = ridx[1], ridx[2]
+            elif len(vals):
                 stats["min"], stats["max"] = int(vals.min()), int(vals.max())
             codec, streams = _int_data_streams(
                 vals, codec_prefix="arr_", vmin=stats.get("min"), vmax=stats.get("max")
             )
             streams = [(K_LENGTH, rle_v2_encode(lengths, signed=False))] + streams
+            if ridx is not None:
+                streams = [(K_ROWIDX, ridx[0])] + streams
             return fin(codec, streams, np.ascontiguousarray(vals), lengths)
         if flat.null_count == 0 and pa.types.is_floating(child):
             fvals = np.ascontiguousarray(flat.to_numpy(zero_copy_only=False))
@@ -483,9 +565,53 @@ def encode_stripe(batch: pa.RecordBatch) -> tuple[dict[str, bytes], list[dict]]:
     return blobs, stats
 
 
-def decode_stripe(blobs: dict[str, bytes], schema: pa.Schema, columns: list[str] | None = None) -> pa.RecordBatch:
+def decode_stripe(
+    blobs: dict[str, bytes],
+    schema: pa.Schema,
+    columns: list[str] | None = None,
+    row_ranges: list[tuple[int, int]] | None = None,
+) -> pa.RecordBatch:
     """Decode (a projection of) a stripe. Column pruning = only the
-    requested blobs are touched (S10 analogue)."""
+    requested blobs are touched (S10 analogue).
+
+    ``row_ranges``: keep only these [start, stop) row ranges (sub-block
+    pruning, D19) — every column is sliced consistently so rows stay
+    aligned."""
     names = columns if columns is not None else schema.names
     arrays = [decode_column(blobs[nm], schema.field(nm).type) for nm in names]
+    if row_ranges is not None:
+        arrays = [
+            pa.concat_arrays([a.slice(s, e - s) for s, e in row_ranges])
+            for a in arrays
+        ]
     return pa.RecordBatch.from_arrays(arrays, names)
+
+
+def prune_row_ranges(
+    blobs: dict[str, bytes], prune: dict[str, tuple[int, int]]
+) -> list[tuple[int, int]] | None:
+    """Sub-block (D19) row ranges of a stripe that can satisfy ``prune``.
+
+    Returns None when no pruned column carries a K_ROWIDX index (keep all
+    rows); [] when provably NO row can match (skip the stripe); else the
+    merged [start, stop) ranges of surviving SUB_BLOCK_ROWS blocks."""
+    sel: set[int] | None = None
+    for col, (lo, hi) in prune.items():
+        blob = blobs.get(col)
+        if blob is None:
+            continue
+        blocks = surviving_blocks(blob, int(lo), int(hi))
+        if blocks is None:
+            continue
+        ids = set(blocks.tolist())
+        sel = ids if sel is None else (sel & ids)
+    if sel is None:
+        return None
+    ranges: list[tuple[int, int]] = []
+    for b in sorted(sel):
+        s, e = b * SUB_BLOCK_ROWS, (b + 1) * SUB_BLOCK_ROWS
+        if ranges and ranges[-1][1] == s:
+            ranges[-1] = (ranges[-1][0], e)
+        else:
+            ranges.append((s, e))
+    return ranges

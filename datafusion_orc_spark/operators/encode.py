@@ -358,6 +358,56 @@ def encode_files(
     return sdf.mapInArrow(enc, BLOB_SCHEMA if output_dir is None else stats_schema)
 
 
+_PRED_RE = None
+
+
+def prune_bounds_from_predicate(where: str) -> dict[str, tuple[int, int]]:
+    """Derive {column: (lo, hi)} stripe-prune bounds from the AND-ed
+    simple integer comparisons in a SQL predicate string.
+
+    Only conjuncts of the form ``col <op> <int>`` / ``<int> <op> col``
+    (op in <, <=, >, >=, =) contribute; everything else is ignored —
+    pruning is best-effort, the caller re-applies the full predicate on
+    the decoded rows (decode_table(where=...) does both automatically).
+    OR anywhere in the predicate disables pruning entirely (a disjunct
+    can rescue rows a conjunct-derived bound would drop)."""
+    import re
+
+    global _PRED_RE
+    if _PRED_RE is None:
+        _PRED_RE = re.compile(
+            r"^\s*(?:(?P<col>[A-Za-z_][\w.]*)\s*(?P<op>>=|<=|=|==|<|>)\s*(?P<val>-?\d+)"
+            r"|(?P<val2>-?\d+)\s*(?P<op2>>=|<=|=|==|<|>)\s*(?P<col2>[A-Za-z_][\w.]*))\s*$"
+        )
+    if re.search(r"\bor\b", where, flags=re.IGNORECASE):
+        return {}
+    out: dict[str, list] = {}
+    _LO, _HI = -(1 << 62), (1 << 62)
+    for conj in re.split(r"\band\b", where, flags=re.IGNORECASE):
+        m = _PRED_RE.match(conj.strip().strip("()"))
+        if not m:
+            continue
+        if m.group("col"):
+            col, op, val = m.group("col"), m.group("op"), int(m.group("val"))
+        else:
+            # mirrored literal-first form: flip the operator
+            col, val = m.group("col2"), int(m.group("val2"))
+            op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(m.group("op2"), m.group("op2"))
+        lo, hi = out.get(col, [_LO, _HI])
+        if op in ("=", "=="):
+            lo, hi = max(lo, val), min(hi, val)
+        elif op == ">":
+            lo = max(lo, val + 1)
+        elif op == ">=":
+            lo = max(lo, val)
+        elif op == "<":
+            hi = min(hi, val - 1)
+        elif op == "<=":
+            hi = min(hi, val)
+        out[col] = [lo, hi]
+    return {c: (lo, hi) for c, (lo, hi) in out.items()}
+
+
 def decode_table(
     blobs_df: DataFrame,
     schema: pa.Schema | None,
@@ -365,6 +415,7 @@ def decode_table(
     columns: list[str] | None = None,
     prune: dict[str, tuple[int, int]] | None = None,
     shuffle: bool = False,
+    where: str | None = None,
 ) -> DataFrame:
     """Blob table -> original rows (projection via ``columns``).
 
@@ -378,6 +429,12 @@ def decode_table(
     whose [vmin, vmax] cannot intersect [lo, hi] are never decoded.
     Rows outside the range within surviving stripes still come back —
     apply the residual filter on the decoded frame.
+
+    ``where``: SQL predicate string — the self-driving version of
+    ``prune``: integer comparison conjuncts are auto-derived into stripe
+    bounds (prune_bounds_from_predicate) AND the full predicate is
+    applied to the decoded rows, so the result is exactly filtered with
+    no manual hint (the DataSource pushFilters analogue).
 
     ``shuffle=False`` (default, the 100-TB path): decode inside the scan
     partitions with ``mapInArrow`` — encode emits every column of a
@@ -394,6 +451,13 @@ def decode_table(
     if schema is None:
         schema = to_arrow_schema(spark_schema)
     names = columns if columns is not None else list(schema.names)
+    if where is not None:
+        # auto-wire stripe pruning from the predicate's simple integer
+        # comparisons (the DataSource's pushFilters analogue for the
+        # functional decode path); the FULL predicate is re-applied on
+        # the decoded rows below, so pruning is purely an optimization
+        auto = prune_bounds_from_predicate(where)
+        prune = {**auto, **(prune or {})}
     if prune:
         keep = None
         for col, (lo, hi) in prune.items():
@@ -410,14 +474,32 @@ def decode_table(
         spark_schema = StructType([f for f in spark_schema.fields if f.name in columns])
     expected = set(names)
 
+    prune_cols = dict(prune) if prune else None
+
+    def _stripe_batch(blob_by_col: dict) -> pa.RecordBatch | None:
+        """Decode one stripe, applying sub-block (D19 ROW_INDEX-stride)
+        pruning when bounds are known: blocks whose local [min, max]
+        cannot match are dropped before Arrow assembly; a stripe whose
+        every block fails is skipped outright."""
+        ranges = None
+        if prune_cols:
+            from datafusion_orc_spark.format.stripe import prune_row_ranges
+
+            ranges = prune_row_ranges(blob_by_col, prune_cols)
+            if ranges == []:
+                return None
+        return decode_stripe(blob_by_col, schema, columns=names, row_ranges=ranges)
+
     if shuffle:
 
         def decode_fn(table: pa.Table) -> pa.Table:
             blob_by_col = dict(zip(table.column("column").to_pylist(), table.column("data").to_pylist()))
-            batch = decode_stripe(blob_by_col, schema, columns=names)
-            return pa.Table.from_batches([batch])
+            batch = _stripe_batch(blob_by_col)
+            proj = pa.schema([schema.field(nm) for nm in names])
+            return pa.Table.from_batches([batch] if batch is not None else [], schema=proj)
 
-        return blobs_df.groupBy("stripe_id").applyInArrow(decode_fn, spark_schema)
+        out = blobs_df.groupBy("stripe_id").applyInArrow(decode_fn, spark_schema)
+        return out.filter(where) if where is not None else out
 
     def decode_local(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # partition-local group-by: accumulate blob rows per stripe_id,
@@ -433,7 +515,9 @@ def decode_table(
                 got = pending.setdefault(sid, {})
                 got[col] = blob
                 if len(got) == len(expected):
-                    yield decode_stripe(got, schema, columns=names)
+                    batch = _stripe_batch(got)
+                    if batch is not None:
+                        yield batch
                     del pending[sid]
         if pending:
             raise ValueError(
@@ -442,7 +526,8 @@ def decode_table(
                 f"repartitioned after encode; pass shuffle=True"
             )
 
-    return blobs_df.mapInArrow(decode_local, spark_schema)
+    out = blobs_df.mapInArrow(decode_local, spark_schema)
+    return out.filter(where) if where is not None else out
 
 
 def verify_roundtrip(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS) -> tuple[bool, dict]:
