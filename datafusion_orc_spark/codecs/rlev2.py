@@ -327,6 +327,14 @@ def rle_v2_encode(vals: np.ndarray, signed: bool = True) -> bytes:
     rep_lens = run_lens[rep_mask]
 
     def emit_literals(lo: int, hi: int) -> None:
+        if hi - lo <= 64:
+            # tiny fragment between repeat runs: one DIRECT run beats the
+            # batched segment machinery (~20 vector ops of setup) — run-
+            # fragmented streams (dictionary indices over skewed keys)
+            # emit hundreds of these per stripe, and the per-call setup
+            # was the single biggest rlev2 encode cost on the bench table
+            _encode_direct(out, v[lo:hi], signed)
+            return
         _encode_literal_segment(out, v[lo:hi], signed)
 
     def emit_repeat(start: int, length: int) -> None:

@@ -10,7 +10,9 @@ Scope: the encodings present in the reference's own test corpus
 (/root/reference/tests/basic/data/*.orc — SNAPPY, DIRECT_V2,
 DICTIONARY_V2, nested list/map/struct, decimal, date) plus NONE/ZLIB/
 LZ4/ZSTD compression and the v1 DIRECT/DICTIONARY (RLEv1) encodings of
-ORC 0.11 writers. UNION is out of scope and raises.
+ORC 0.11 writers, plus UNION (non-null rows -> Arrow dense union,
+conformance-tested against an ORC-Java-written uniontype file; union
+columns with null rows raise — Arrow dense unions carry no validity).
 
 Used for conformance tests (decode the corpus bit-identically vs
 pyarrow.orc) and as the F5 stream-level oracle (our RLEv2 decoder applied
@@ -198,7 +200,13 @@ class _StripeReader:
             zeros = (nanos_enc.view(np.uint64) & np.uint64(7)).astype(np.int64)
             nanos = (nanos_enc >> 3) * np.power(10, np.where(zeros > 0, zeros + 1, 0))
             epoch_2015 = 1420070400  # 2015-01-01T00:00:00Z
-            total = (secs + epoch_2015) * 1_000_000_000 + nanos
+            abs_secs = secs + epoch_2015
+            # ORC pre-1970 convention (ORC-Java writers, incl. ours):
+            # positive-nanos rows before 1970 are stored one second ahead;
+            # the reader subtracts it back. C++-written streams carry
+            # SIGNED nanos instead (handled above) and never hit this.
+            abs_secs -= ((abs_secs < 0) & (nanos > 999999)).astype(np.int64)
+            total = abs_secs * 1_000_000_000 + nanos
             return self._primitive(pa.timestamp("ns", tz="UTC" if k == proto.TIMESTAMP_INSTANT else None), total, valid, n)
         if k == proto.LIST:
             lengths = int_dec(self.stream(col, proto.S_LENGTH), n_vals, signed=False)
@@ -225,6 +233,28 @@ class _StripeReader:
             struct = pa.StructArray.from_arrays([keys, items], fields=entry_fields)
             return pa.MapArray.from_buffers(
                 typ, n, [_validity_buffer(valid), pa.py_buffer(offsets.astype(np.int32).tobytes())], children=[struct]
+            )
+        if k == proto.UNION:
+            # ORC UNION: DATA = per-row child tag (byte RLE); child i holds
+            # only the rows tagged i, densely — exactly Arrow's DENSE union
+            # layout (pyarrow.orc surfaces the same data as a sparse union;
+            # values compare equal row-by-row). Verified against an
+            # ORC-Java-written uniontype file (tests/test_orc_union.py).
+            if n_vals != n:
+                raise NotImplementedError(
+                    "UNION with null rows: Arrow dense unions carry no "
+                    "validity; no writer in this sandbox produces one to "
+                    "verify a convention against"
+                )
+            tags = byte_rle_decode(self.stream(col, proto.S_DATA), n_vals).astype(np.int8)
+            offsets = np.zeros(n_vals, dtype=np.int32)
+            children = []
+            for i, sub in enumerate(t.subtypes):
+                m = tags == i
+                offsets[m] = np.arange(int(m.sum()), dtype=np.int32)
+                children.append(self.decode_column(sub, int(m.sum())))
+            return pa.UnionArray.from_dense(
+                pa.array(tags, type=pa.int8()), pa.array(offsets, type=pa.int32()), children
             )
         if k == proto.STRUCT:
             children = [self.decode_column(sc, n_vals) for sc in t.subtypes]
@@ -334,6 +364,10 @@ class OrcReader:
             return pa.map_(self._arrow_type(t.subtypes[0]), self._arrow_type(t.subtypes[1]))
         if k == proto.STRUCT:
             return pa.struct([pa.field(nm, self._arrow_type(sc)) for nm, sc in zip(t.field_names, t.subtypes)])
+        if k == proto.UNION:
+            return pa.dense_union(
+                [pa.field(str(i), self._arrow_type(sc)) for i, sc in enumerate(t.subtypes)]
+            )
         raise NotImplementedError(f"type kind {k}")
 
     def iter_stripes(

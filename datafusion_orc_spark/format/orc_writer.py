@@ -229,6 +229,8 @@ def _stream_pos_arity(kind: int, typ: pa.DataType, enc: int) -> int:
         if typ in (pa.string(), pa.binary()) and enc != proto.E_DICTIONARY_V2:
             return _POS_RAW
         return _POS_RLE  # ints, byte RLE, dictionary indices
+    if kind == proto.S_SECONDARY:
+        return _POS_RLE
     if kind == proto.S_LENGTH:
         # list/string-direct LENGTH is row-variant; a dictionary's entry
         # lengths are per-symbol, not per-row — never positioned
@@ -305,6 +307,34 @@ def _encode_orc_column(arr: pa.Array, typ: pa.DataType) -> tuple[list[tuple[int,
     elif typ in (pa.float32(), pa.float64()):
         streams.append((proto.S_DATA, dense.to_numpy(zero_copy_only=False).tobytes()))
         enc = proto.E_DIRECT
+    elif pa.types.is_timestamp(typ):
+        # ORC TIMESTAMP: DATA = seconds since 2015-01-01 (signed RLEv2),
+        # SECONDARY = nanos with the 3-bit removed-trailing-zeros code
+        ns = dense.cast(pa.timestamp("ns")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        epoch_2015 = 1420070400
+        secs1970 = ns // 1_000_000_000
+        nanos = (ns % 1_000_000_000).astype(np.int64)
+        # pre-1970 quirk (matches ORC-Java writer / ORC C++ reader): the
+        # reader does `if (secs < 0 && nanos > 999999) secs -= 1`, so the
+        # writer emits floor-seconds + 1 exactly for those rows
+        secs = secs1970 + ((secs1970 < 0) & (nanos > 999999)) - epoch_2015
+        # removed-trailing-zeros encoding: z zeros stripped -> low3 = z-1
+        # (z >= 2), else low3 = 0 and the full value shifted in
+        enc_nanos = np.zeros(len(nanos), dtype=np.int64)
+        rem = nanos.copy()
+        zeros = np.zeros(len(nanos), dtype=np.int64)
+        nz = rem > 0
+        for _ in range(8):
+            div = (rem % 10 == 0) & nz & (zeros < 8)
+            if not div.any():
+                break
+            rem[div] //= 10
+            zeros[div] += 1
+        code = np.where(zeros >= 2, zeros - 1, 0)
+        val = np.where(zeros >= 2, rem, nanos)
+        enc_nanos = (val << 3) | code
+        streams.append((proto.S_DATA, rle_v2_encode(secs, signed=True)))
+        streams.append((proto.S_SECONDARY, rle_v2_encode(enc_nanos, signed=False)))
     elif typ in (pa.string(), pa.binary()):
         dict_streams = _dictionary_streams(dense) if typ == pa.string() else None
         if dict_streams is not None:
@@ -496,8 +526,8 @@ def _reorder_root_first(schema: pa.Schema) -> tuple[list[bytes], list]:
         return 1
 
     def add(typ: pa.DataType, my_id: int) -> None:
-        if typ in _PRIM_KINDS:
-            entries.append(_field_varint(1, _PRIM_KINDS[typ]))
+        if typ in _PRIM_KINDS or pa.types.is_timestamp(typ):
+            entries.append(_field_varint(1, _PRIM_KINDS.get(typ, proto.TIMESTAMP)))
             arrow_types.append(typ)
         elif pa.types.is_list(typ):
             entries.append(_field_varint(1, proto.LIST) + _packed_varints(2, [my_id + 1]))
@@ -523,6 +553,9 @@ def _reorder_root_first(schema: pa.Schema) -> tuple[list[bytes], list]:
     def add2(typ: pa.DataType, my_id: int) -> None:
         if typ in _PRIM_KINDS:
             ordered.append(_field_varint(1, _PRIM_KINDS[typ]))
+            arrow_ordered.append(typ)
+        elif pa.types.is_timestamp(typ):
+            ordered.append(_field_varint(1, proto.TIMESTAMP))
             arrow_ordered.append(typ)
         elif pa.types.is_list(typ):
             ordered.append(_field_varint(1, proto.LIST) + _packed_varints(2, [my_id + 1]))

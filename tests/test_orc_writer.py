@@ -222,3 +222,46 @@ def test_our_reader_still_reads_indexed_files(tmp_path):
     got = read_orc(p)
     assert got.num_rows == t.num_rows
     assert got.column("k").combine_chunks() == t.column("k").combine_chunks()
+
+
+def test_timestamp_roundtrip_via_orc_cxx(tmp_path):
+    """TIMESTAMP write support: seconds-from-2015 + 3-bit trailing-zero
+    nano encoding, read back exactly by the ORC C++ reader (incl.
+    pre-1970 instants and stripped-zero nanos)."""
+    import datetime as dt
+
+    vals = [
+        dt.datetime(2015, 1, 1, 0, 0, 0),
+        dt.datetime(2020, 6, 15, 12, 34, 56, 789000),  # 789000000 ns: zeros stripped
+        dt.datetime(1900, 1, 1, 0, 0, 0, 1),  # pre-1970, ms+ nanos: +1s quirk
+        None,
+        dt.datetime(2000, 6, 15, 8, 0, 0, 250000),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999),  # sub-ms nanos: no quirk
+        dt.datetime(2038, 1, 19, 3, 14, 7, 999999),
+    ]
+    t = pa.table({"ts": pa.array(vals, type=pa.timestamp("us"))})
+    p = str(tmp_path / "ts.orc")
+    write_orc(t, p, compression="zlib")
+    got = pa.orc.ORCFile(p).read()
+    assert got.column("ts").cast(pa.timestamp("us")).to_pylist() == vals
+    ours = read_orc(p)
+    assert ours.column("ts").cast(pa.timestamp("us")).to_pylist() == vals
+
+
+def test_timestamp_minus1s_window_matches_reference_writers(tmp_path):
+    """Instants in (-1s, 0) with >=1ms nanos are mangled identically by
+    ORC-Java's writer + ORC C++'s reader (stored secs=floor+1 lands on 0,
+    the reader's `secs < 0` quirk check then never fires — verified by
+    writing the same instant through orc-core via py4j). We mimic the
+    reference byte behavior exactly: our file stores the same (secs,
+    nanos) pair and pyarrow + our reader return the same shifted value."""
+    import datetime as dt
+
+    truth = dt.datetime(1969, 12, 31, 23, 59, 59, 123456)
+    t = pa.table({"ts": pa.array([truth], type=pa.timestamp("us"))})
+    p = str(tmp_path / "ts_win.orc")
+    write_orc(t, p)
+    cxx = pa.orc.ORCFile(p).read().column("ts").cast(pa.timestamp("us")).to_pylist()
+    ours = read_orc(p).column("ts").cast(pa.timestamp("us")).to_pylist()
+    shifted = dt.datetime(1970, 1, 1, 0, 0, 0, 123456)  # reference behavior
+    assert cxx == [shifted] and ours == [shifted]
