@@ -290,9 +290,6 @@ def _merge_rounds(
     def expansion(eid: int) -> bytes:
         return symbols[eid] if eid < 256 else bytes([eid - 256])
 
-    def cost(eids: np.ndarray) -> np.ndarray:
-        return np.where(eids < 256, 1, 2)
-
     elem_len = np.where(
         elem_id < 256,
         table.out_len[np.minimum(elem_id, 255)],
@@ -307,7 +304,6 @@ def _merge_rounds(
         valid = (string_id[:-1] == string_id[1:]) & (elem_len[:-1] + elem_len[1:] <= MAX_SYMBOL_LEN)
         key = a * 512 + b
         counts = np.bincount(key[valid], minlength=512 * 512)
-        save_per = cost(a) + cost(b) - 1  # merged element always costs 1
         # profitability must beat the table overhead (1 len byte + bytes)
         cand_keys = np.flatnonzero(counts >= min_count)
         if not len(cand_keys):
@@ -324,6 +320,12 @@ def _merge_rounds(
             break
         gains.sort(key=lambda t: (-t[0], t[1]))
         chosen = gains[: min(free, 64)]
+        # marginal-gain cap: a generation must be worth its rewrite pass.
+        # Stream cost ~= len(elem_id) bytes + escapes; skip the round (and
+        # the ones after — gains only shrink) when the chosen merges save
+        # <0.2% of it.
+        if sum(g for g, _k, _s in chosen) < 0.002 * len(elem_id):
+            break
         pair_code = np.full(512 * 512, -1, dtype=np.int64)
         for _g, k, sym in chosen:
             pair_code[k] = len(symbols)
