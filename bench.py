@@ -90,7 +90,14 @@ def build_session(cpus: int, master: str | None = None):
         .config("spark.driver.memory", "4g")
         .config("spark.driver.extraJavaOptions", "-Xms4g -XX:+AlwaysPreTouch")
         .config("spark.python.worker.reuse", "true")
-        .config("spark.ui.enabled", "false")
+        # UI on (bounded retention): the status REST API is the per-task
+        # duration source for the skew-evidence histogram; ~32 tasks/run
+        # of listener events are noise next to the encode itself
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "20000")
+        .config("spark.ui.showConsoleProgress", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # 32 concurrent vectorized readers of array<int32> rows (~1000
         # tokens each) need batch_rows*4KB*tasks of heap; 4096-row default
@@ -185,7 +192,53 @@ def measure_encode(spark, path: str, runs: int = RUNS, parallelism: int | None =
         os.sync()  # untimed: flush this run's dirty pages before the next
     best["warmup_walls"] = warm_walls
     best["measured_walls"] = walls
+    best["task_histogram"] = _task_histogram(spark)
     return best
+
+
+def _task_histogram(spark) -> dict | None:
+    """Per-task durations of the LAST completed encode stage, via the
+    local status REST API — the skew evidence: the bench table's
+    ``source`` key is ~50% one value, but splits are row-group ranges
+    (uniform bytes/task), so task walls must be tight. Published as
+    n/min/median/p90/max seconds + the max/median imbalance ratio."""
+    try:
+        import json as _json
+        import statistics
+        from urllib.request import urlopen
+
+        ui = spark.sparkContext.uiWebUrl
+        if not ui:
+            return None
+        apps = _json.load(urlopen(f"{ui}/api/v1/applications", timeout=5))
+        app_id = apps[0]["id"]
+        stages = _json.load(
+            urlopen(f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=5)
+        )
+        if not stages:
+            return None
+        st = max(stages, key=lambda s: s.get("stageId", 0))
+        tasks = _json.load(
+            urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages/{st['stageId']}/"
+                f"{st.get('attemptId', 0)}/taskList?length=10000",
+                timeout=5,
+            )
+        )
+        durs = sorted(t["duration"] / 1000.0 for t in tasks if "duration" in t)
+        if not durs:
+            return None
+        med = statistics.median(durs)
+        return {
+            "n_tasks": len(durs),
+            "min_s": round(durs[0], 3),
+            "median_s": round(med, 3),
+            "p90_s": round(durs[int(0.9 * (len(durs) - 1))], 3),
+            "max_s": round(durs[-1], 3),
+            "max_over_median": round(durs[-1] / max(med, 1e-9), 3),
+        }
+    except Exception:
+        return None  # UI disabled or REST shape changed: evidence-only, never fatal
 
 
 def _bw_work(_):
@@ -246,6 +299,8 @@ def main() -> None:
     extras["total_tokens"] = int(total_tokens)
     extras["encode_warmup_walls"] = enc["warmup_walls"]
     extras["encode_measured_walls"] = enc["measured_walls"]
+    if enc.get("task_histogram"):
+        extras["encode_task_histogram"] = enc["task_histogram"]
 
     # decode timing: scan the blob part files written by the measured
     # encode and rebuild rows with the no-shuffle partition-local decode

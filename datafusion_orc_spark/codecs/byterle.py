@@ -15,11 +15,24 @@ _MAX_REPEAT = 130  # 127 + 3
 _MAX_LITERAL = 128
 
 
-def byte_rle_encode(data: bytes | np.ndarray) -> bytes:
-    """Encode bytes with ORC byte-RLE. Vectorized run detection."""
+def byte_rle_encode(data: bytes | np.ndarray, return_controls: bool = False):
+    """Encode bytes with ORC byte-RLE. Vectorized run detection.
+
+    ``return_controls=True`` additionally returns two int64 arrays
+    (out_pos, in_pos): for every emitted control byte, its byte offset
+    in the output and the input byte index its run/literal starts at —
+    the seek table ROW_INDEX positions are computed from (a control
+    covers input bytes [in_pos, in_pos + run_len), so the position of
+    input byte b is (out_pos, b - in_pos) for the last control with
+    in_pos <= b).
+    """
     b = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data.astype(np.uint8, copy=False)
     n = len(b)
+    ctrl_out: list[int] = []
+    ctrl_in: list[int] = []
     if n == 0:
+        if return_controls:
+            return b"", np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         return b""
     # run starts: positions where value changes
     change = np.empty(n, dtype=bool)
@@ -29,11 +42,14 @@ def byte_rle_encode(data: bytes | np.ndarray) -> bytes:
     lengths = np.diff(np.append(starts, n))
     out = bytearray()
     lit_buf = bytearray()
+    lit_start = 0  # input index of lit_buf[0] while lit_buf is non-empty
 
     def flush_literals() -> None:
         i = 0
         while i < len(lit_buf):
             chunk = lit_buf[i : i + _MAX_LITERAL]
+            ctrl_out.append(len(out))
+            ctrl_in.append(lit_start + i)
             out.append(256 - len(chunk))
             out.extend(chunk)
             i += _MAX_LITERAL
@@ -46,14 +62,21 @@ def byte_rle_encode(data: bytes | np.ndarray) -> bytes:
             rem = ln
             while rem >= _MIN_REPEAT:
                 take = min(rem, _MAX_REPEAT)
+                ctrl_out.append(len(out))
+                ctrl_in.append(s + ln - rem)
                 out.append(take - 3)
                 out.append(val)
                 rem -= take
             if rem:
+                lit_start = s + ln - rem
                 lit_buf.extend(bytes([val]) * rem)
         else:
+            if not lit_buf:
+                lit_start = s
             lit_buf.extend(b[s : s + ln].tobytes())
     flush_literals()
+    if return_controls:
+        return bytes(out), np.array(ctrl_out, dtype=np.int64), np.array(ctrl_in, dtype=np.int64)
     return bytes(out)
 
 
@@ -81,11 +104,14 @@ def byte_rle_decode(data: bytes | np.ndarray, n: int | None = None) -> np.ndarra
     return out[:n] if n is not None else out
 
 
-def bool_rle_encode(flags: np.ndarray) -> bytes:
-    """Booleans -> MSB-first bit-packed bytes -> byte RLE (ORC boolean RLE)."""
+def bool_rle_encode(flags: np.ndarray, return_controls: bool = False):
+    """Booleans -> MSB-first bit-packed bytes -> byte RLE (ORC boolean RLE).
+
+    With ``return_controls`` the control map is over PACKED byte indexes
+    (bit i lives in packed byte i//8 at bit offset i%8)."""
     bits = np.asarray(flags, dtype=bool)
     packed = np.packbits(bits)  # pads trailing bits with 0, matching ORC
-    return byte_rle_encode(packed)
+    return byte_rle_encode(packed, return_controls)
 
 
 def bool_rle_decode(data: bytes | np.ndarray, n: int) -> np.ndarray:

@@ -194,6 +194,67 @@ def runfor_size(streams: dict[int, bytes]) -> int:
     return sum(len(b) for b in streams.values())
 
 
+def runfor_decode_range(streams: dict[int, bytes], n: int, start: int, stop: int) -> np.ndarray:
+    """Decode only rows [start, stop) — the D19 sub-block fast path.
+
+    Fixed-width literals are seekable by bit arithmetic: the literal
+    index of row r is r minus the run coverage before r, so the range's
+    literals are one ranged ``bit_unpack`` at offset_bits = la*w instead
+    of a full-stream decode. Run side lists are tiny and decoded whole.
+    Exactly equal to runfor_decode(...)[start:stop].
+    """
+    start, stop = max(0, int(start)), min(int(n), int(stop))
+    m = stop - start
+    if m <= 0:
+        return np.empty(0, dtype=np.int64)
+    meta = np.frombuffer(streams[META], dtype=np.uint8)
+    n_runs, p = varint_decode_scalar(meta, 0)
+    n_lit, p = varint_decode_scalar(meta, p)
+    zz, p = varint_decode_scalar(meta, p)
+    base = zigzag_decode_scalar(zz)
+    w, p = varint_decode_scalar(meta, p)
+    wm, p = varint_decode_scalar(meta, p)
+    n_exc, p = varint_decode_scalar(meta, p)
+
+    if n_runs:
+        r_pos = sorted_pos_decode(streams[RUN_POS], n_runs)
+        r_len = rle_v2_decode(streams[RUN_LEN], n_runs, signed=False)
+        r_val = rle_v2_decode(streams[RUN_VAL], n_runs, signed=True)
+        r_end = r_pos + r_len
+        # run coverage before a row r: sum over runs of overlap with [0, r)
+        cov = lambda r: int(np.minimum(np.maximum(r - r_pos, 0), r_len).sum())  # noqa: E731
+    else:
+        r_pos = r_len = r_val = r_end = np.empty(0, dtype=np.int64)
+        cov = lambda r: 0  # noqa: E731
+
+    la, lb = start - cov(start), stop - cov(stop)
+    if lb > la:
+        lit = bit_unpack(streams[LIT], w, lb - la, offset_bits=la * w)
+        if n_exc:
+            epos = sorted_pos_decode(streams[EXC_POS], n_exc)
+            e0, e1 = np.searchsorted(epos, la), np.searchsorted(epos, lb)
+            if e1 > e0:
+                high = bit_unpack(streams[EXC_HIGH], wm - w, e1 - e0, offset_bits=e0 * (wm - w))
+                lit[epos[e0:e1] - la] |= high << np.uint64(w)
+        lit = lit.view(np.int64)
+        if base:
+            lit += base
+    else:
+        lit = np.empty(0, dtype=np.int64)
+
+    if not n_runs:
+        return lit
+    # clip runs to the window and reassemble locally
+    sel = (r_pos < stop) & (r_end > start)
+    c_pos = np.maximum(r_pos[sel], start) - start
+    c_len = np.minimum(r_end[sel], stop) - start - c_pos
+    out = np.empty(m, dtype=np.int64)
+    covered = _coverage_mask(m, c_pos, c_len)
+    out[covered] = np.repeat(r_val[sel], c_len)
+    out[~covered] = lit
+    return out
+
+
 def runfor_decode(streams: dict[int, bytes], n: int) -> np.ndarray:
     meta = np.frombuffer(streams[META], dtype=np.uint8)
     n_runs, p = varint_decode_scalar(meta, 0)

@@ -58,15 +58,22 @@ def _compress_chunk(chunk: bytes, kind: int) -> bytes:
     raise NotImplementedError(f"compression kind {kind}")
 
 
-def compress_stream(raw: bytes, kind: int, block: int = 262144) -> bytes:
+def compress_stream(raw: bytes, kind: int, block: int = 262144, return_chunks: bool = False):
     """Chunk-frame `raw` for an ORC compressed stream: per <=block chunk,
     3-byte LE header (len << 1) | isOriginal, falling back to the
     original bytes when compression does not shrink the chunk (spec
-    behavior; format/orc_reader.py decompress_stream is the inverse)."""
+    behavior; format/orc_reader.py decompress_stream is the inverse).
+
+    ``return_chunks=True`` also returns the framed byte offset of each
+    chunk (chunk i covers raw bytes [i*block, (i+1)*block)) — the seek
+    table for mapping raw positions to (chunk offset, offset in chunk)
+    ROW_INDEX pairs."""
     if kind == 0 or not raw:
-        return raw
+        return (raw, [0]) if return_chunks else raw
     out = bytearray()
+    chunk_offs: list[int] = []
     for pos in range(0, len(raw), block):
+        chunk_offs.append(len(out))
         chunk = raw[pos : pos + block]
         comp = _compress_chunk(chunk, kind)
         if len(comp) >= len(chunk):
@@ -77,6 +84,8 @@ def compress_stream(raw: bytes, kind: int, block: int = 262144) -> bytes:
             body = comp
         out += bytes((hdr & 0xFF, (hdr >> 8) & 0xFF, (hdr >> 16) & 0xFF))
         out += body
+    if return_chunks:
+        return bytes(out), chunk_offs
     return bytes(out)
 
 
@@ -256,9 +265,11 @@ _PRIM_KINDS = {
 
 # ------------------------------------------------------------ column encode
 
-def _dictionary_streams(dense: pa.Array) -> tuple[list[tuple[int, bytes]], int] | None:
-    """DICTIONARY_V2 streams with a SORTED symbol table, or None when the
-    column does not pass the dictionary heuristic (distinct/total > 0.8)."""
+def _dictionary_streams(dense: pa.Array) -> tuple[np.ndarray, list[bytes]] | None:
+    """-> (per-row sorted-rank indexes, SORTED symbol table values), or
+    None when the column does not pass the dictionary heuristic
+    (distinct/total > 0.8). The caller builds the DICTIONARY_V2 streams
+    (the index stream is row-group-split for ROW_INDEX positions)."""
     n_vals = len(dense)
     if n_vals == 0:
         return None
@@ -271,41 +282,110 @@ def _dictionary_streams(dense: pa.Array) -> tuple[list[tuple[int, bytes]], int] 
     rank[order] = np.arange(len(order))
     idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     sorted_vals = [vals[i] for i in order]
-    streams = [
-        (proto.S_DATA, rle_v2_encode(rank[idx], signed=False)),
-        (proto.S_DICTIONARY_DATA, b"".join(sorted_vals)),
-        (proto.S_LENGTH, rle_v2_encode(np.array([len(v) for v in sorted_vals], dtype=np.int64), signed=False)),
-    ]
-    return streams, len(sorted_vals)
+    return rank[idx], sorted_vals
 
 
-def _encode_orc_column(arr: pa.Array, typ: pa.DataType) -> tuple[list[tuple[int, bytes]], int, int, list]:
+def _ctrl_pos(out_pos: np.ndarray, in_pos: np.ndarray, b: int) -> list[int]:
+    """Byte-RLE seek position of input byte ``b`` from a control map:
+    (output offset of the control whose run contains b, bytes to skip)."""
+    if not len(out_pos):
+        return [0, 0]
+    b = min(b, int(in_pos[-1]) + 129)  # clamp degenerate all-null tails
+    i = max(0, int(np.searchsorted(in_pos, b, side="right")) - 1)
+    return [int(out_pos[i]), int(b - in_pos[i])]
+
+
+def _rle_grouped(values: np.ndarray, vstarts: list[int], signed: bool) -> tuple[bytes, list[list[int]]]:
+    """RLEv2-encode ``values`` restarting a fresh run at every group
+    start, so each group's seek position is exactly (byte offset, 0).
+    Restarting at the stride boundary is the classic writer trade: a few
+    split runs buy trivially-correct positions (a reader that ignores
+    the index sees an ordinary run concatenation)."""
+    if len(vstarts) <= 1:
+        return rle_v2_encode(values, signed=signed), [[0, 0]]
+    parts: list[bytes] = []
+    offs: list[list[int]] = []
+    off = 0
+    bounds = list(vstarts) + [len(values)]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        offs.append([off, 0])
+        part = rle_v2_encode(values[a:b], signed=signed)
+        parts.append(part)
+        off += len(part)
+    return b"".join(parts), offs
+
+
+def _encode_orc_column(
+    arr: pa.Array, typ: pa.DataType, group_starts: list[int] | None = None
+) -> tuple[list[tuple[int, bytes]], int, int, list[list[list[int]]]]:
     """-> (streams [(kind, bytes)...] for this column, encoding kind,
-    dictionary size, child (arr, typ) pairs to encode next)."""
+    dictionary size, positions).
+
+    ``group_starts``: row-group start indexes in this column's own row
+    space (root columns: stripe row offsets; list children: flattened
+    value offsets — see _assign_arrays). ``positions`` is parallel to
+    ``streams``: per stream, per group, the raw (pre-compression) seek
+    positions with the spec arity — [] for unpositioned streams.
+    RLEv2 streams restart runs at group boundaries (offset, 0); byte/
+    bool RLE record real mid-stream run positions via the control map;
+    raw streams record plain byte offsets.
+    """
     n = len(arr)
+    gs = [0] if not group_starts else [int(g) for g in group_starts]
+    multi = len(gs) > 1
     streams: list[tuple[int, bytes]] = []
+    positions: list[list[list[int]]] = []
     if arr.null_count:
         valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
-        streams.append((proto.S_PRESENT, bool_rle_encode(valid)))
+        if multi:
+            pres, c_out, c_in = bool_rle_encode(valid, return_controls=True)
+            ppos = [_ctrl_pos(c_out, c_in, g // 8) + [g % 8] for g in gs]
+        else:
+            pres = bool_rle_encode(valid)
+            ppos = [[0, 0, 0]]
+        streams.append((proto.S_PRESENT, pres))
+        positions.append(ppos)
         dense = arr.drop_null()
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(valid, out=cum[1:])
+        vstarts = [int(cum[g]) for g in gs]
     else:
         dense = arr
-    children: list = []
+        vstarts = gs
     enc = proto.E_DIRECT_V2
     dict_size = 0
 
     if typ == pa.bool_():
         flags = dense.to_numpy(zero_copy_only=False).astype(bool)
-        streams.append((proto.S_DATA, bool_rle_encode(flags)))
+        if multi:
+            data, c_out, c_in = bool_rle_encode(flags, return_controls=True)
+            dpos = [_ctrl_pos(c_out, c_in, v // 8) + [v % 8] for v in vstarts]
+        else:
+            data = bool_rle_encode(flags)
+            dpos = [[0, 0, 0]]
+        streams.append((proto.S_DATA, data))
+        positions.append(dpos)
         enc = proto.E_DIRECT
     elif typ == pa.int8():
-        streams.append((proto.S_DATA, byte_rle_encode(dense.to_numpy(zero_copy_only=False).view(np.uint8))))
+        raw = dense.to_numpy(zero_copy_only=False).view(np.uint8)
+        if multi:
+            data, c_out, c_in = byte_rle_encode(raw, return_controls=True)
+            dpos = [_ctrl_pos(c_out, c_in, v) for v in vstarts]
+        else:
+            data = byte_rle_encode(raw)
+            dpos = [[0, 0]]
+        streams.append((proto.S_DATA, data))
+        positions.append(dpos)
         enc = proto.E_DIRECT
     elif typ in (pa.int16(), pa.int32(), pa.int64()) or pa.types.is_date32(typ):
         base = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        streams.append((proto.S_DATA, rle_v2_encode(base, signed=True)))
+        data, dpos = _rle_grouped(base, vstarts, signed=True)
+        streams.append((proto.S_DATA, data))
+        positions.append(dpos)
     elif typ in (pa.float32(), pa.float64()):
-        streams.append((proto.S_DATA, dense.to_numpy(zero_copy_only=False).tobytes()))
+        npv = dense.to_numpy(zero_copy_only=False)
+        streams.append((proto.S_DATA, npv.tobytes()))
+        positions.append([[v * npv.dtype.itemsize] for v in vstarts])
         enc = proto.E_DIRECT
     elif pa.types.is_timestamp(typ):
         # ORC TIMESTAMP: DATA = seconds since 2015-01-01 (signed RLEv2),
@@ -320,7 +400,6 @@ def _encode_orc_column(arr: pa.Array, typ: pa.DataType) -> tuple[list[tuple[int,
         secs = secs1970 + ((secs1970 < 0) & (nanos > 999999)) - epoch_2015
         # removed-trailing-zeros encoding: z zeros stripped -> low3 = z-1
         # (z >= 2), else low3 = 0 and the full value shifted in
-        enc_nanos = np.zeros(len(nanos), dtype=np.int64)
         rem = nanos.copy()
         zeros = np.zeros(len(nanos), dtype=np.int64)
         nz = rem > 0
@@ -333,13 +412,26 @@ def _encode_orc_column(arr: pa.Array, typ: pa.DataType) -> tuple[list[tuple[int,
         code = np.where(zeros >= 2, zeros - 1, 0)
         val = np.where(zeros >= 2, rem, nanos)
         enc_nanos = (val << 3) | code
-        streams.append((proto.S_DATA, rle_v2_encode(secs, signed=True)))
-        streams.append((proto.S_SECONDARY, rle_v2_encode(enc_nanos, signed=False)))
+        d1, p1 = _rle_grouped(secs, vstarts, signed=True)
+        d2, p2 = _rle_grouped(enc_nanos, vstarts, signed=False)
+        streams.append((proto.S_DATA, d1))
+        positions.append(p1)
+        streams.append((proto.S_SECONDARY, d2))
+        positions.append(p2)
     elif typ in (pa.string(), pa.binary()):
         dict_streams = _dictionary_streams(dense) if typ == pa.string() else None
         if dict_streams is not None:
-            ds, dict_size = dict_streams
-            streams.extend(ds)
+            rank_idx, sorted_vals = dict_streams
+            data, dpos = _rle_grouped(rank_idx, vstarts, signed=False)
+            streams.append((proto.S_DATA, data))
+            positions.append(dpos)
+            streams.append((proto.S_DICTIONARY_DATA, b"".join(sorted_vals)))
+            positions.append([])
+            streams.append(
+                (proto.S_LENGTH, rle_v2_encode(np.array([len(v) for v in sorted_vals], dtype=np.int64), signed=False))
+            )
+            positions.append([])
+            dict_size = len(sorted_vals)
             enc = proto.E_DICTIONARY_V2
         else:
             lb = dense.cast(pa.large_binary())
@@ -348,14 +440,18 @@ def _encode_orc_column(arr: pa.Array, typ: pa.DataType) -> tuple[list[tuple[int,
             blob = bufs[2].to_pybytes()[off[0] : off[-1]] if len(lb) else b""
             lengths = np.diff(off)
             streams.append((proto.S_DATA, blob))
-            streams.append((proto.S_LENGTH, rle_v2_encode(lengths.astype(np.int64), signed=False)))
+            positions.append([[int(off[v] - off[0])] for v in vstarts])
+            d2, p2 = _rle_grouped(lengths.astype(np.int64), vstarts, signed=False)
+            streams.append((proto.S_LENGTH, d2))
+            positions.append(p2)
     elif pa.types.is_list(typ):
         lengths = pc.list_value_length(dense).to_numpy(zero_copy_only=False).astype(np.int64)
-        streams.append((proto.S_LENGTH, rle_v2_encode(lengths, signed=False)))
-        children.append((pc.list_flatten(dense), typ.value_type))
+        data, dpos = _rle_grouped(lengths, vstarts, signed=False)
+        streams.append((proto.S_LENGTH, data))
+        positions.append(dpos)
     else:
         raise NotImplementedError(f"orc_writer: type {typ}")
-    return streams, enc, dict_size, children
+    return streams, enc, dict_size, positions
 
 
 def write_orc(
@@ -385,13 +481,7 @@ def write_orc(
     comp = _COMPRESSION_KINDS[compression.lower()]
     table = table.combine_chunks()
     if row_index_stride is None:
-        row_index_stride = max(10000, stripe_rows)
-    if row_index_stride and row_index_stride < stripe_rows:
-        raise ValueError(
-            f"row_index_stride {row_index_stride} < stripe_rows {stripe_rows}: "
-            f"this writer emits one row group per stripe; raise the stride or "
-            f"lower stripe_rows"
-        )
+        row_index_stride = 10000  # ORC default; multiple row groups/stripe
     # pre-order ORC type ids, root struct = 0
     types, _arrow_types = _reorder_root_first(table.schema)
 
@@ -405,44 +495,85 @@ def write_orc(
         if batch_tbl.num_rows == 0 and total_rows > 0:
             break
         stripe_offset = len(out)
-        # encode columns in ORC id order (root has no streams)
-        col_arrays: dict[int, tuple[pa.Array, pa.DataType]] = {}
-        # map ORC ids -> arrays via recursive walk identical to the tree build
-        _assign_arrays(table.schema, batch_tbl, col_arrays)
+        n_rows = batch_tbl.num_rows
+        # row groups within this stripe (>=1; one entry per stride)
+        if row_index_stride and row_index_stride < n_rows:
+            row_group_starts = list(range(0, n_rows, row_index_stride))
+        else:
+            row_group_starts = [0]
+        # encode columns in ORC id order (root has no streams); the walk
+        # maps ORC ids -> (array, type, group starts in the column's own
+        # row space — list children translate row groups to value ranges)
+        col_arrays: dict[int, tuple[pa.Array, pa.DataType, list[int]]] = {}
+        _assign_arrays(table.schema, batch_tbl, col_arrays, row_group_starts)
         data_bytes: list[bytes] = []
         data_meta: list[tuple[int, int, int]] = []  # (column, kind, length)
         encodings: list[tuple[int, int]] = [(proto.E_DIRECT, 0)]  # root struct
         # root struct stats: row count, no nulls at the root
         stats: list[dict] = [
-            {"n": batch_tbl.num_rows, "has_null": False, "kind": None}
+            {"n": n_rows, "has_null": False, "kind": None}
         ]
-        positions: list[list[int]] = [[]]  # root: no streams to position
+        group_bounds = row_group_starts + [n_rows]
+        # per column: per group (positions, stats) for the RowIndexEntry
+        col_index: list[list[tuple[list[int], dict]]] = [
+            [
+                ([], {"n": b - a, "has_null": False, "kind": None})
+                for a, b in zip(group_bounds[:-1], group_bounds[1:])
+            ]
+        ]
         for col_id in sorted(col_arrays):
-            arr, typ = col_arrays[col_id]
-            streams, enc, dict_size, _children = _encode_orc_column(arr, typ)
+            arr, typ, gstarts = col_arrays[col_id]
+            streams, enc, dict_size, stream_pos = _encode_orc_column(arr, typ, gstarts)
             encodings.append((enc, dict_size))
             stats.append(_collect_stats(arr, typ))
-            arity = sum(
-                _stream_pos_arity(kind, typ, enc) + (1 if comp else 0)
-                if _stream_pos_arity(kind, typ, enc) else 0
-                for kind, _data in streams
-            )
-            positions.append([0] * arity)
-            for kind, data in streams:
-                framed = compress_stream(data, comp, block_size)
+            # frame each stream; map raw seek positions through the
+            # compression chunk table ([chunk offset, offset in chunk]
+            # replaces the raw byte offset when compressed)
+            mapped: list[list[list[int]]] = []  # per stream, per group
+            for (kind, data), raw_pos in zip(streams, stream_pos):
+                framed, chunk_offs = compress_stream(data, comp, block_size, return_chunks=True)
                 data_meta.append((col_id, kind, len(framed)))
                 data_bytes.append(framed)
-        # ROW_INDEX streams first (the stripe's index region): one entry
-        # per row group — exactly one per stripe by construction, so every
-        # position is a zero-offset with the spec arity for its stream
+                if raw_pos:
+                    if comp:
+                        mapped.append(
+                            [
+                                [chunk_offs[min(p[0] // block_size, len(chunk_offs) - 1)], p[0] % block_size] + p[1:]
+                                for p in raw_pos
+                            ]
+                        )
+                    else:
+                        mapped.append(raw_pos)
+                else:
+                    mapped.append([])
+            gb = [int(g) for g in gstarts] + [len(arr)]
+            entries: list[tuple[list[int], dict]] = []
+            for g in range(len(gstarts) if gstarts else 1):
+                flat: list[int] = []
+                for per_stream in mapped:
+                    if per_stream:
+                        flat.extend(per_stream[g])
+                gstat = (
+                    stats[-1]
+                    if len(gb) == 2
+                    else _collect_stats(arr.slice(gb[g], gb[g + 1] - gb[g]), typ)
+                )
+                entries.append((flat, gstat))
+            col_index.append(entries)
+        # ROW_INDEX streams first (the stripe's index region): one
+        # RowIndexEntry per row group with real stream seek positions
+        # and that group's ColumnStatistics
         index_meta: list[tuple[int, int, int]] = []
         index_bytes: list[bytes] = []
         if row_index_stride:
             for col_id in range(len(stats)):
-                entry = _field_bytes(2, _serialize_stats(stats[col_id]))
-                if positions[col_id]:
-                    entry = _packed_varints(1, positions[col_id]) + entry
-                ri = compress_stream(_field_bytes(1, entry), comp, block_size)
+                body = b""
+                for flat, gstat in col_index[col_id]:
+                    entry = _field_bytes(2, _serialize_stats(gstat))
+                    if flat:
+                        entry = _packed_varints(1, flat) + entry
+                    body += _field_bytes(1, entry)
+                ri = compress_stream(body, comp, block_size)
                 index_meta.append((col_id, proto.S_ROW_INDEX, len(ri)))
                 index_bytes.append(ri)
         index_len = sum(len(b) for b in index_bytes)
@@ -567,18 +698,26 @@ def _reorder_root_first(schema: pa.Schema) -> tuple[list[bytes], list]:
     return ordered, arrow_ordered
 
 
-def _assign_arrays(schema: pa.Schema, tbl: pa.Table, out: dict) -> None:
-    """Map ORC column ids (pre-order, root=0) -> (array, type)."""
+def _assign_arrays(schema: pa.Schema, tbl: pa.Table, out: dict, group_starts: list[int]) -> None:
+    """Map ORC column ids (pre-order, root=0) -> (array, type, group
+    starts). Root columns inherit the stripe's row-group starts; a list
+    child's groups are the flattened value offsets at those rows (null
+    lists contribute 0), so its RowIndexEntry positions seek to the
+    first child value of each row group."""
     next_id = 1
 
-    def walk(arr: pa.Array, typ: pa.DataType) -> None:
+    def walk(arr: pa.Array, typ: pa.DataType, gstarts: list[int]) -> None:
         nonlocal next_id
         my_id = next_id
         next_id += 1
-        out[my_id] = (arr, typ)
+        out[my_id] = (arr, typ, gstarts)
         if pa.types.is_list(typ):
-            walk(pc.list_flatten(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr), typ.value_type)
+            a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            lens = pc.list_value_length(a).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            cum = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=cum[1:])
+            walk(pc.list_flatten(a), typ.value_type, [int(cum[g]) for g in gstarts])
 
     for i, f in enumerate(schema):
         col = tbl.column(i)
-        walk(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, f.type)
+        walk(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, f.type, list(group_starts))

@@ -271,6 +271,99 @@ def _int_data_streams(
     return codec_prefix + "int_rle2", [(K_DATA, rle_bytes)]
 
 
+def _decode_column_ranged(
+    codec: str,
+    n: int,
+    n_nulls: int,
+    streams: dict[int, bytes],
+    typ: pa.DataType,
+    row_ranges: list[tuple[int, int]],
+) -> pa.Array | None:
+    """Seeking range decode for the codecs where it is cheap, or None
+    (caller falls back to full decode + slice)."""
+    if n_nulls or not row_ranges:
+        return None  # dense<->row mapping needs the PRESENT prefix sums
+    if codec == "int_runfor" and not pa.types.is_date32(typ) and not pa.types.is_timestamp(typ):
+        from datafusion_orc_spark.codecs.runfor import runfor_decode_range
+
+        rf = {_RUNFOR_KEYS[k]: b for k, b in streams.items() if k in _RUNFOR_KEYS}
+        parts = [runfor_decode_range(rf, n, s, e) for s, e in row_ranges]
+        vals = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        np_t = _INT_TYPES[typ]
+        return pa.Array.from_buffers(
+            typ, len(vals), [None, pa.py_buffer(np.ascontiguousarray(vals.astype(np_t)).tobytes())]
+        )
+    if codec == "int_for_bp" and not pa.types.is_date32(typ) and not pa.types.is_timestamp(typ):
+        meta = streams[K_META]
+        base, pos = varint_decode_signed(meta, 1)
+        width = meta[pos]
+        parts = [
+            bit_unpack(streams[K_DATA], width, e - s, offset_bits=s * width).view(np.int64) + int(base[0])
+            for s, e in row_ranges
+        ]
+        vals = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        np_t = _INT_TYPES[typ]
+        return pa.Array.from_buffers(
+            typ, len(vals), [None, pa.py_buffer(np.ascontiguousarray(vals.astype(np_t)).tobytes())]
+        )
+    if codec == "float_raw":
+        np_t = np.float32 if typ == pa.float32() else np.float64
+        raw = np.frombuffer(streams[K_DATA], dtype=np_t)
+        vals = np.concatenate([raw[s:e] for s, e in row_ranges])
+        return pa.Array.from_buffers(
+            typ, len(vals), [None, pa.py_buffer(np.ascontiguousarray(vals).tobytes())]
+        )
+    if codec in ("arr_int_runfor", "arr_int_for_bp", "arr_float_raw"):
+        # array columns (the expensive ones — token streams): decode the
+        # LENGTH stream whole (n values, tiny next to items), map row
+        # ranges to item ranges, then seek inside the item stream
+        lengths = rle_v2_decode(streams[K_LENGTH], n, signed=False)
+        item_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=item_off[1:])
+        n_items = int(item_off[-1])
+        child_typ = typ.value_type
+        parts = []
+        for s, e in row_ranges:
+            i0, i1 = int(item_off[s]), int(item_off[e])
+            if i1 <= i0:
+                continue
+            if codec == "arr_int_runfor":
+                from datafusion_orc_spark.codecs.runfor import runfor_decode_range
+
+                rf = {_RUNFOR_KEYS[k]: b for k, b in streams.items() if k in _RUNFOR_KEYS}
+                parts.append(runfor_decode_range(rf, n_items, i0, i1))
+            elif codec == "arr_int_for_bp":
+                meta = streams[K_META]
+                base, pos = varint_decode_signed(meta, 1)
+                width = meta[pos]
+                parts.append(
+                    bit_unpack(streams[K_DATA], width, i1 - i0, offset_bits=i0 * width).view(np.int64)
+                    + int(base[0])
+                )
+            else:
+                np_t = np.float32 if child_typ == pa.float32() else np.float64
+                raw = np.frombuffer(streams[K_DATA], dtype=np_t)
+                parts.append(raw[i0:i1])
+        if parts:
+            items = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        else:
+            items = np.empty(0, dtype=np.int64)
+        if codec == "arr_float_raw":
+            child = pa.array(items, type=child_typ)
+        else:
+            child = pa.array(items.astype(_INT_TYPES[child_typ]), type=child_typ)
+        out_lens = np.concatenate([lengths[s:e] for s, e in row_ranges]) if row_ranges else np.empty(0, np.int64)
+        offsets = np.zeros(len(out_lens) + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=offsets[1:])
+        out = pa.ListArray.from_buffers(
+            pa.list_(child_typ), len(out_lens),
+            [None, pa.py_buffer(offsets.astype(np.int32).tobytes())],
+            children=[child],
+        )
+        return out.cast(typ) if out.type != typ else out
+    return None
+
+
 def _int_data_decode(codec: str, streams: dict[int, bytes], n: int) -> np.ndarray:
     if codec.endswith("int_for_bp"):
         return _decode_for_bp(streams[K_META], streams[K_DATA], n)
@@ -420,9 +513,23 @@ def encode_column(arr: pa.Array | pa.ChunkedArray) -> tuple[bytes, dict]:
 
 # ------------------------------------------------------------- decode
 
-def decode_column(blob: bytes, typ: pa.DataType) -> pa.Array:
-    """Inverse of :func:`encode_column` — bit-identical values."""
+def decode_column(
+    blob: bytes, typ: pa.DataType, row_ranges: list[tuple[int, int]] | None = None
+) -> pa.Array:
+    """Inverse of :func:`encode_column` — bit-identical values.
+
+    ``row_ranges``: decode only these [start, stop) row slices (D19
+    sub-block pruning). Null-free scalar int (runfor / FoR+bitpack) and
+    float columns SEEK — non-matching blocks cost no decode CPU (ranged
+    bit_unpack at computed bit offsets); other codecs fall back to full
+    decode + slice, same result either way."""
     codec, n, n_nulls, streams = _parse(blob)
+    if row_ranges is not None:
+        fast = _decode_column_ranged(codec, n, n_nulls, streams, typ, row_ranges)
+        if fast is not None:
+            return fast
+        full = decode_column(blob, typ)
+        return pa.concat_arrays([full.slice(s, e - s) for s, e in row_ranges])
     if codec == "raw_ipc":
         with pa.ipc.open_stream(pa.BufferReader(streams[K_DATA])) as r:
             return r.read_all().column("c").combine_chunks()
@@ -578,12 +685,10 @@ def decode_stripe(
     pruning, D19) — every column is sliced consistently so rows stay
     aligned."""
     names = columns if columns is not None else schema.names
-    arrays = [decode_column(blobs[nm], schema.field(nm).type) for nm in names]
-    if row_ranges is not None:
-        arrays = [
-            pa.concat_arrays([a.slice(s, e - s) for s, e in row_ranges])
-            for a in arrays
-        ]
+    arrays = [
+        decode_column(blobs[nm], schema.field(nm).type, row_ranges=row_ranges)
+        for nm in names
+    ]
     return pa.RecordBatch.from_arrays(arrays, names)
 
 

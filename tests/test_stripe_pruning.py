@@ -161,3 +161,78 @@ def test_decode_table_skips_sub_blocks_within_surviving_stripe(spark):
     nothing = decode_table(blobs, None, df.schema, prune={"k": (-50, -1)})
     assert nothing.count() == 0
     blobs.unpersist()
+
+
+def test_runfor_decode_range_equals_full_slice():
+    """Ranged literal seek (bit-offset arithmetic) must equal the full
+    decode's slice on every window shape: run-interior, run-straddling,
+    exception-carrying, head/tail."""
+    import numpy as np
+
+    from datafusion_orc_spark.codecs.runfor import runfor_decode, runfor_decode_range, runfor_encode
+
+    rng = np.random.default_rng(11)
+    n = 100_000
+    v = rng.integers(0, 1 << 13, n, dtype=np.int64)
+    v[5_000:9_000] = 7          # long runs
+    v[40_000:73_000] = -3
+    exc = rng.choice(n, 300, replace=False)
+    v[exc] = rng.integers(1 << 30, 1 << 40, 300)  # PFOR exceptions
+    streams = runfor_encode(v)
+    full = runfor_decode(streams, n)
+    assert np.array_equal(full, v)
+    for s, e in [(0, 1), (0, n), (4_990, 9_010), (41_000, 50_000), (8_191, 16_385),
+                 (n - 100, n), (0, 8_192), (73_000, 73_001), (39_999, 73_001)]:
+        got = runfor_decode_range(streams, n, s, e)
+        assert np.array_equal(got, v[s:e]), (s, e)
+
+
+def test_decode_column_ranged_seeks_and_matches(monkeypatch):
+    """decode_column(row_ranges=) equals full-decode + slice for every
+    codec; for null-free seekable codecs (for_bp, float_raw, and the
+    token-array runfor path) the full-stream item decoders must NOT run."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_orc_spark.codecs import runfor as rf_mod
+    from datafusion_orc_spark.format import stripe as st
+
+    n = 50_000
+    rng = np.random.default_rng(5)
+    # F1-shaped token arrays: Zipf-ish values with boilerplate runs ->
+    # the selector picks arr_int_runfor (the bench table's hot codec)
+    tok_lens = rng.integers(1, 64, n)  # >1M items -> arr_int_runfor path
+    items = rng.integers(0, 1 << 15, int(tok_lens.sum()), dtype=np.int32)
+    items[len(items) // 3 : len(items) // 2] = 11  # long run region (mid-stream)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tok_lens, out=off[1:])
+    tokens = pa.ListArray.from_arrays(pa.array(off, type=pa.int32()).cast(pa.int32()), pa.array(items))
+    cols = {
+        "tokens": tokens,                                               # arr_int_runfor
+        "forbp": pa.array(rng.integers(10**6, 10**6 + 4096, n)),        # int_for_bp
+        "f": pa.array(rng.random(n)),                                   # float_raw
+        "runny": pa.array(np.where(rng.random(n) < 0.7, 42, rng.integers(0, 1 << 12, n))),  # rle2 fallback
+        "s": pa.array([f"x{i%50}" for i in range(n)]),                  # dict fallback
+        "nullable": pa.array([None if i % 9 == 0 else i for i in range(n)], type=pa.int64()),
+    }
+    ranges = [(8_192, 16_384), (24_576, 32_768)]
+    blobs, codecs = {}, {}
+    for name, arr in cols.items():
+        blob, stats = st.encode_column(arr)
+        blobs[name], codecs[name] = blob, stats.get("codec")
+        full = st.decode_column(blob, arr.type)
+        expect = pa.concat_arrays([full.slice(s, e - s) for s, e in ranges])
+        got = st.decode_column(blob, arr.type, row_ranges=ranges)
+        assert got.equals(expect), name
+    assert codecs["tokens"] == "arr_int_runfor", codecs
+    assert codecs["forbp"] == "int_for_bp" and codecs["f"] == "float_raw", codecs
+
+    # seekable paths must not fall back to full-stream item decode
+    def boom(*a, **k):
+        raise AssertionError("full-stream decode called on seekable column")
+
+    monkeypatch.setattr(rf_mod, "runfor_decode", boom)
+    st.decode_column(blobs["tokens"], cols["tokens"].type, row_ranges=ranges)
+    monkeypatch.setattr(st, "rle_v2_decode", boom)  # forbp/f never touch RLE
+    for name in ("forbp", "f"):
+        st.decode_column(blobs[name], cols[name].type, row_ranges=ranges)
