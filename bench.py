@@ -402,10 +402,15 @@ def main() -> None:
     # cluster adds one bus per node, which one box cannot emulate past
     # ~8 cores). Sessions are interleaved (1,4,1,4) so machine phases
     # (khugepaged/writeback moods) average out across levels.
-    if DO_SCALING and os.environ.get("SPARK_GRAFT_EXEC_SCALING", "1") != "0":
-        exec_walls: dict[int, list[float]] = {1: [], 4: []}
+    if os.environ.get("SPARK_GRAFT_EXEC_SCALING", "1" if DO_SCALING else "0") != "0":
+        # SPARK_GRAFT_EXEC_PAIR="2:8" measures a 2x2 -> 8x2 pair instead
+        # of the default 1x2 -> 4x2 (same N -> 4N EXECUTORS shape)
+        lo_n, hi_n = (
+            int(x) for x in os.environ.get("SPARK_GRAFT_EXEC_PAIR", "1:4").split(":")
+        )
+        exec_walls: dict[int, list[float]] = {lo_n: [], hi_n: []}
         for _round in range(3):
-            for n_exec in (1, 4):
+            for n_exec in (lo_n, hi_n):
                 lspark = build_session(CPUS, master=f"local-cluster[{n_exec},2,2048]")
                 lspark.sparkContext.setLogLevel("ERROR")
                 try:
@@ -419,13 +424,16 @@ def main() -> None:
                 finally:
                     lspark.stop()
         ex = {
-            "executors_1x2_tokens_per_sec": round(total_tokens / min(exec_walls[1])),
-            "executors_4x2_tokens_per_sec": round(total_tokens / min(exec_walls[4])),
-            "executors_1_walls": exec_walls[1],
-            "executors_4_walls": exec_walls[4],
+            f"executors_{lo_n}x2_tokens_per_sec": round(total_tokens / min(exec_walls[lo_n])),
+            f"executors_{hi_n}x2_tokens_per_sec": round(total_tokens / min(exec_walls[hi_n])),
+            f"executors_{lo_n}_walls": exec_walls[lo_n],
+            f"executors_{hi_n}_walls": exec_walls[hi_n],
         }
-        ex["efficiency_exec_1_4"] = round(
-            (ex["executors_4x2_tokens_per_sec"] / ex["executors_1x2_tokens_per_sec"]) / 4.0, 3
+        ex[f"efficiency_exec_{lo_n}_{hi_n}"] = round(
+            (total_tokens / min(exec_walls[hi_n]))
+            / (total_tokens / min(exec_walls[lo_n]))
+            / (hi_n / lo_n),
+            3,
         )
         extras["executor_scaling"] = ex
 

@@ -360,12 +360,56 @@ def rle_v2_encode(vals: np.ndarray, signed: bool = True) -> bytes:
                 _encode_delta(out, np.full(take, val, dtype=np.int64), signed)
             pos += take
 
+    # batch SHORT_REPEAT emission: runs of 3..10 values encode as
+    # header + 1-8 value bytes; build ALL of them in one vectorized pass
+    # and collapse maximal chains of ADJACENT short runs into single
+    # byte-slice appends — run-dominated data (skewed dictionary
+    # indices) was paying ~75% of the encode wall in per-run python
+    # (zigzag/bit_length/to_bytes x 700k calls on a 4M-value stream)
+    n_rep = len(rep_starts)
+    pure_sr = rep_lens <= _MAX_SHORT_REPEAT
+    sr_view = None
+    if pure_sr.any():
+        sv = v[rep_starts[pure_sr]].astype(np.int64)
+        with np.errstate(over="ignore"):
+            u = ((sv << 1) ^ (sv >> 63)).view(np.uint64) if signed else sv.view(np.uint64)
+        wb = ((bit_widths(u) + 7) // 8).astype(np.int64)  # 1..8 value bytes
+        srl = rep_lens[pure_sr]
+        sr_off = np.zeros(len(wb) + 1, dtype=np.int64)
+        np.cumsum(1 + wb, out=sr_off[1:])
+        blob = np.zeros(int(sr_off[-1]), dtype=np.uint8)
+        blob[sr_off[:-1]] = (_SHORT_REPEAT << 6) | ((wb - 1) << 3) | (srl - 3)
+        for k in range(int(wb.max())):  # MSB-first value bytes, <=8 passes
+            m_ = wb > k
+            blob[sr_off[:-1][m_] + 1 + k] = (
+                u[m_] >> ((wb[m_] - 1 - k).astype(np.uint64) * np.uint64(8))
+            ) & np.uint64(0xFF)
+        sr_view = memoryview(blob.tobytes())
+        sr_pos = np.full(n_rep, -1, dtype=np.int64)
+        sr_pos[pure_sr] = np.arange(int(pure_sr.sum()))
+        sr_off_l = sr_off.tolist()
+        sr_pos_l = sr_pos.tolist()
+    # emission units: a unit is either one non-SR run or a maximal chain
+    # of gap-free short runs (their precomputed bytes are contiguous)
+    adj = np.zeros(n_rep, dtype=bool)
+    if n_rep > 1:
+        adj[1:] = (
+            pure_sr[1:] & pure_sr[:-1] & (rep_starts[1:] == rep_starts[:-1] + rep_lens[:-1])
+        )
+    heads = np.flatnonzero(~adj).tolist()
+    starts_l, lens_l = rep_starts.tolist(), rep_lens.tolist()
     cursor = 0
-    for s, ln in zip(rep_starts.tolist(), rep_lens.tolist()):
+    for ui, i in enumerate(heads):
+        j = (heads[ui + 1] - 1) if ui + 1 < len(heads) else n_rep - 1
+        s = starts_l[i]
         if s > cursor:
             emit_literals(cursor, s)
-        emit_repeat(s, ln)
-        cursor = s + ln
+        if sr_view is not None and sr_pos_l[i] >= 0:
+            out += sr_view[sr_off_l[sr_pos_l[i]] : sr_off_l[sr_pos_l[j] + 1]]
+            cursor = starts_l[j] + lens_l[j]
+        else:
+            emit_repeat(s, lens_l[i])
+            cursor = s + lens_l[i]
     if cursor < n:
         emit_literals(cursor, n)
     return bytes(out)
