@@ -1,0 +1,89 @@
+"""Reader-side ROW_INDEX / statistics parsing (D19 for foreign files):
+indexes written by ORC-Java (via Spark) and by our own writer must both
+parse into usable row-group stats, and the pruning math must keep
+exactly the groups that can match."""
+
+import numpy as np
+import pyarrow as pa
+
+from datafusion_orc_spark.format import orc_proto as proto
+from datafusion_orc_spark.format.orc_index import (
+    parse_row_index,
+    stripe_stats_from_metadata,
+    surviving_row_groups,
+)
+from datafusion_orc_spark.format.orc_reader import OrcReader, _StripeReader, decompress_stream
+from datafusion_orc_spark.format.orc_writer import write_orc
+
+
+def _row_indexes(reader: OrcReader, stripe: int) -> dict[int, list[dict]]:
+    sr = _StripeReader(reader, reader.footer.stripes[stripe])
+    return {
+        col: parse_row_index(sr.stream(col, proto.S_ROW_INDEX))
+        for col in range(len(reader.footer.types))
+        if sr.has_stream(col, proto.S_ROW_INDEX)
+    }
+
+
+def test_parse_our_writers_multi_group_index(tmp_path):
+    n = 40000
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "s": pa.array([f"name-{i % 50:03d}" for i in range(n)]),
+    })
+    p = str(tmp_path / "ours.orc")
+    write_orc(t, p, stripe_rows=40000, compression="snappy")  # 4 row groups
+    r = OrcReader(p)
+    idx = _row_indexes(r, 0)
+    assert len(idx[1]) == 4
+    mins = [e["stats"]["min"] for e in idx[1]]
+    maxs = [e["stats"]["max"] for e in idx[1]]
+    assert mins == [0, 10000, 20000, 30000]
+    assert maxs == [9999, 19999, 29999, 39999]
+    assert idx[2][0]["stats"]["min"] == "name-000"
+    # pruning math
+    assert surviving_row_groups(idx, {1: (25000, 26000)}) == [2]
+    assert surviving_row_groups(idx, {1: (9999, 10000)}) == [0, 1]
+    assert surviving_row_groups(idx, {1: (400000, 500000)}) == []
+    assert surviving_row_groups(idx, {7: (0, 1)}) is None  # no such column index
+
+
+def test_parse_spark_orc_java_index(spark, tmp_path):
+    """ORC-Java's own files (written by Spark) parse identically."""
+    p = str(tmp_path / "java_orc")
+    spark.range(35000).selectExpr(
+        "id as k", "cast(id % 97 as double) as d", "concat('v', id % 13) as s"
+    ).coalesce(1).write.orc(p)
+    import glob
+
+    f = glob.glob(f"{p}/*.orc")[0]
+    r = OrcReader(f)
+    assert r.footer.row_index_stride == 10000
+    idx = _row_indexes(r, 0)
+    k_entries = idx[1]
+    assert len(k_entries) == 4  # 35000 rows / 10000 stride
+    assert k_entries[0]["stats"]["min"] == 0 and k_entries[3]["stats"]["max"] == 34999
+    assert abs(idx[2][1]["stats"]["max"] - 96.0) < 1e-9  # double stats
+    assert idx[3][0]["stats"]["min"] == "v0"             # string stats
+    assert surviving_row_groups(idx, {1: (12000, 12345)}) == [1]
+
+
+def test_metadata_stripe_stats_parse(spark, tmp_path):
+    p = str(tmp_path / "java_orc2")
+    spark.range(50000).selectExpr("id as k").coalesce(1).write.option(
+        "orc.stripe.size", 65536
+    ).orc(p)
+    import glob, os
+
+    f = glob.glob(f"{p}/*.orc")[0]
+    r = OrcReader(f)
+    sz = os.path.getsize(f)
+    with open(f, "rb") as fh:
+        raw = fh.read()
+    ps_len = raw[-1]
+    foot_start = sz - 1 - ps_len - r.postscript.footer_length
+    meta_start = foot_start - r.postscript.metadata_length
+    ss = stripe_stats_from_metadata(decompress_stream(raw[meta_start:foot_start], r.postscript.compression))
+    assert len(ss) == len(r.footer.stripes) >= 1
+    assert ss[0][1]["min"] == 0
+    assert ss[-1][1]["max"] == 49999
