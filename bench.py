@@ -187,12 +187,15 @@ def measure_encode(spark, path: str, runs: int = RUNS, parallelism: int | None =
     for _ in range(runs):
         r = run_encode(spark, path, parallelism)
         walls.append(round(r["wall"], 3))
+        # histogram captured per run (3 cheap REST calls, untimed) so the
+        # published histogram belongs to the BEST run, not whichever ran
+        # last — a straggler in run k must not be pinned on the headline
+        r["task_histogram"] = _task_histogram(spark)
         if best is None or r["wall"] < best["wall"]:
             best = r
         os.sync()  # untimed: flush this run's dirty pages before the next
     best["warmup_walls"] = warm_walls
     best["measured_walls"] = walls
-    best["task_histogram"] = _task_histogram(spark)
     return best
 
 
