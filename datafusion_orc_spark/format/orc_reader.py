@@ -336,6 +336,25 @@ class OrcReader:
         self._f.seek(offset)
         return self._f.read(length)
 
+    def stripe_statistics(self) -> list[list[dict]]:
+        """[stripe][orc column id] statistics from the file Metadata
+        section (one small ranged read, cached) — stripe pruning inputs
+        WITHOUT touching any stripe bytes (D19/S7 for foreign files)."""
+        if getattr(self, "_stripe_stats", None) is None:
+            ml = self.postscript.metadata_length
+            if not ml:
+                self._stripe_stats = []
+            else:
+                ps_len_pos = self._len - 1
+                ps_len = self._read(ps_len_pos, 1)[0]
+                meta_start = self._len - 1 - ps_len - self.postscript.footer_length - ml
+                from datafusion_orc_spark.format.orc_index import stripe_stats_from_metadata
+
+                self._stripe_stats = stripe_stats_from_metadata(
+                    decompress_stream(self._read(meta_start, ml), self.postscript.compression)
+                )
+        return self._stripe_stats
+
     def schema(self) -> pa.Schema:
         """ORC type tree -> Arrow schema (ref: file_format.rs:50-52)."""
         root = self.footer.types[0]
@@ -375,6 +394,7 @@ class OrcReader:
         columns: list[str] | None = None,
         stripes: list[int] | None = None,
         batch_rows: int | None = None,
+        prune: dict[str, tuple] | None = None,
     ):
         """STREAM record batches stripe-by-stripe — the reference's batched
         scan shape (file_source.rs:31,44 streams 1024-row batches; a whole-
@@ -385,18 +405,72 @@ class OrcReader:
         ``batch_rows``: slice each stripe's batch to at most this many rows.
         Each stripe's bytes are fetched with one ranged read and released
         before the next stripe is touched.
+
+        ``prune``: {column name: (lo, hi)} — statistics pruning for
+        FOREIGN files (D19): stripes whose Metadata stats prove no match
+        are skipped without reading a single stripe byte; within
+        surviving stripes the per-column ROW_INDEX drops row groups that
+        cannot match (decode + slice; conservative — rows outside the
+        bounds inside surviving groups still come back, callers
+        re-apply the exact predicate).
         """
         root = self.footer.types[0]
         names = root.field_names
         sel = list(range(len(names))) if columns is None else [names.index(c) for c in columns]
         out_names = [names[i] for i in sel]
         idxs = range(len(self.footer.stripes)) if stripes is None else stripes
+        prune_ids = (
+            {root.subtypes[names.index(c)]: b for c, b in prune.items() if c in names}
+            if prune
+            else {}
+        )
+        sstats = self.stripe_statistics() if prune_ids else []
+        stride = self.footer.row_index_stride
         for si in idxs:
             info = self.footer.stripes[si]
+            if prune_ids and si < len(sstats):
+                from datafusion_orc_spark.format.orc_index import _bounds_may_match
+
+                st = sstats[si]
+                if any(
+                    col < len(st) and not _bounds_may_match(st[col], lo, hi)
+                    for col, (lo, hi) in prune_ids.items()
+                ):
+                    continue  # whole stripe provably misses: zero reads
             sr = _StripeReader(self, info)
+            row_ranges = None
+            if prune_ids and stride:
+                from datafusion_orc_spark.format.orc_index import (
+                    parse_row_index,
+                    surviving_row_groups,
+                )
+
+                idx = {
+                    col: parse_row_index(sr.stream(col, proto.S_ROW_INDEX))
+                    for col in prune_ids
+                    if sr.has_stream(col, proto.S_ROW_INDEX)
+                }
+                groups = surviving_row_groups(idx, prune_ids)
+                if groups == []:
+                    continue
+                if groups is not None:
+                    n_groups = -(-info.number_of_rows // stride)
+                    if len(groups) < n_groups:
+                        row_ranges = [
+                            (g * stride, min((g + 1) * stride, info.number_of_rows))
+                            for g in groups
+                        ]
             arrays = [sr.decode_column(root.subtypes[i], info.number_of_rows) for i in sel]
             batch = pa.RecordBatch.from_arrays(arrays, out_names)
             del sr, arrays
+            if row_ranges is not None:
+                batch = pa.RecordBatch.from_arrays(
+                    [
+                        pa.concat_arrays([c.slice(s, e - s) for s, e in row_ranges])
+                        for c in batch.columns
+                    ],
+                    out_names,
+                )
             if batch_rows is None or batch.num_rows <= batch_rows:
                 yield batch
             else:
@@ -407,10 +481,12 @@ class OrcReader:
         self,
         columns: list[str] | None = None,
         stripes: list[int] | None = None,
+        prune: dict[str, tuple] | None = None,
     ) -> pa.Table:
         """Decode stripes -> Arrow table. ``columns`` = projection pushdown
-        by name (ref: physical_exec.rs:69-78 name->index mask)."""
-        batches = list(self.iter_stripes(columns, stripes))
+        by name (ref: physical_exec.rs:69-78 name->index mask); ``prune``
+        = statistics pushdown (see iter_stripes)."""
+        batches = list(self.iter_stripes(columns, stripes, prune=prune))
         root = self.footer.types[0]
         names = root.field_names
         sel = list(range(len(names))) if columns is None else [names.index(c) for c in columns]
@@ -420,5 +496,7 @@ class OrcReader:
         return pa.Table.from_batches(batches, schema=schema)
 
 
-def read_orc(path: str, columns: list[str] | None = None) -> pa.Table:
-    return OrcReader(path).read(columns)
+def read_orc(
+    path: str, columns: list[str] | None = None, prune: dict[str, tuple] | None = None
+) -> pa.Table:
+    return OrcReader(path).read(columns, prune=prune)

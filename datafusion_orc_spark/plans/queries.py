@@ -622,6 +622,54 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+_PRUNE_LO, _PRUNE_HI = 20_000, 25_000
+
+
+def q_orc_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-file D19: scan an ORC-Java-WRITTEN file with OUR reader
+    using statistics pushdown — stripes are skipped from the Metadata
+    stats with zero reads, row groups from ROW_INDEX (conservative);
+    the exact predicate is re-applied on the returned rows, so the
+    result matches the oracle bit-for-bit regardless of how much the
+    stats pruned."""
+    import hashlib
+    import os
+    import tempfile
+
+    from datafusion_orc_spark import FORMAT_VERSION
+    from datafusion_orc_spark.sources.orc_source import read_orc_distributed
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    tag = hashlib.md5(f"{sf_dir}:v{FORMAT_VERSION}:pruned".encode()).hexdigest()[:8]
+    out = f"{tempfile.gettempdir()}/dos_orc_pruned_{tag}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # sort by the prune key so ORC-Java's stripe/row-group stats are
+        # selective — the layout a real ingest pipeline would produce
+        li.repartition(2).sortWithinPartitions("l_orderkey").write.mode(
+            "overwrite"
+        ).option("compression", "snappy").orc(out)
+    df = read_orc_distributed(
+        spark, f"{out}/*.orc", prune={"l_orderkey": (_PRUNE_LO, _PRUNE_HI)}
+    )
+    df.createOrReplaceTempView("lineitem_orc_pruned")
+    return spark.sql(
+        f"SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty "
+        f"FROM lineitem_orc_pruned "
+        f"WHERE l_orderkey BETWEEN {_PRUNE_LO} AND {_PRUNE_HI} "
+        f"GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+
+
+SQL_ORC_PRUNED_SCAN = f"""
+SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_roundtrip_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full storage-layer round-trip through the `stripeblob` DataSource:
     tokenize -> resumable encode_job to disk -> spark.read.format(
@@ -1456,6 +1504,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "roundtrip_tokens_agg": (q_roundtrip_tokens_agg, SQL_ROUNDTRIP_TOKENS_AGG),
     "roundtrip_datasource_agg": (q_roundtrip_datasource_agg, SQL_ROUNDTRIP_DATASOURCE_AGG),
     "orc_scan_agg": (q_orc_scan_agg, SQL_ORC_SCAN_AGG),
+    "orc_pruned_scan": (q_orc_pruned_scan, SQL_ORC_PRUNED_SCAN),
     "codec_stats": (q_codec_stats, SQL_CODEC_STATS),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -100,8 +100,14 @@ def read_orc_distributed(
     batch_rows: int = DEFAULT_BATCH_ROWS,
     opener=None,
     file_extension: str | None = ".orc",
+    prune: dict | None = None,
 ) -> DataFrame:
     """Scan ORC files with OUR reader, one task per stripe-range.
+
+    ``prune``: {column: (lo, hi)} statistics pushdown — each task skips
+    stripes via the file Metadata stats (zero reads) and row groups via
+    ROW_INDEX (format/orc_reader.py iter_stripes); conservative, callers
+    re-apply the exact predicate on the returned rows.
 
     ``columns`` is the projection pushed into the per-stripe decode
     (name -> ORC column mask, the physical_exec.rs:69-78 analogue);
@@ -175,6 +181,7 @@ def read_orc_distributed(
                     columns=local_cols,
                     stripes=list(range(first, first + cnt)),
                     batch_rows=batch_rows,
+                    prune=prune,
                 ):
                     # pad fields this file lacks with nulls, order to merged
                     arrays = []

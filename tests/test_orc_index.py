@@ -87,3 +87,85 @@ def test_metadata_stripe_stats_parse(spark, tmp_path):
     assert len(ss) == len(r.footer.stripes) >= 1
     assert ss[0][1]["min"] == 0
     assert ss[-1][1]["max"] == 49999
+
+
+def _counting_opener(path):
+    import io
+
+    class F(io.FileIO):
+        reads = []
+
+        def read(self, n=-1):
+            F.reads.append((self.tell(), n))
+            return super().read(n)
+
+    return F(path, "rb")
+
+
+def test_pruned_read_skips_stripes_and_row_groups(spark, tmp_path):
+    """read_orc(prune=) on an ORC-Java-written multi-stripe file:
+    result must be a superset of matching rows restricted to surviving
+    row groups, and SKIPPED stripes must cost zero data reads."""
+    import glob
+
+    from datafusion_orc_spark.format.orc_reader import OrcReader
+
+    p = str(tmp_path / "java_orc3")
+    # force several stripes: big strings defeat RLE so stripes fill
+    spark.range(200000).selectExpr(
+        "id as k", "repeat(concat('pad', cast(id as string)), 24) as pad"
+    ).coalesce(1).write.option("orc.stripe.size", 262144).orc(p)
+    f = glob.glob(f"{p}/*.orc")[0]
+    r0 = OrcReader(f)
+    n_stripes = len(r0.footer.stripes)
+    assert n_stripes >= 3, n_stripes
+
+    # target a window deep in the file
+    lo, hi = 150000, 150500
+    got = OrcReader(f).read(columns=["k"], prune={"k": (lo, hi)})
+    ks = got.column("k").to_pylist()
+    assert set(range(lo, hi + 1)) <= set(ks)  # no matching row lost
+    assert len(ks) < 200000  # pruning actually dropped rows
+    # the 500-row window intersects at most 2 row groups per surviving
+    # stripe (groups are stripe-relative), so the result must be tiny
+    stride = r0.footer.row_index_stride
+    assert len(ks) <= 3 * stride, len(ks)
+
+    # IO accounting: stripes whose stats exclude [lo, hi] are never read
+    opener_reads = []
+
+    def opener(path):
+        import io
+
+        f_ = open(path, "rb")
+
+        class Wrap:
+            def seek(self, *a):
+                return f_.seek(*a)
+
+            def tell(self):
+                return f_.tell()
+
+            def read(self, n=-1):
+                opener_reads.append((f_.tell(), n))
+                return f_.read(n)
+
+        return Wrap()
+
+    r = OrcReader(f, opener=opener)
+    pre = len(opener_reads)
+    r.read(columns=["k"], prune={"k": (lo, hi)})
+    data_reads = opener_reads[pre:]
+    # reads overlapping each skipped stripe's byte range must not exist
+    surviving = set()
+    for si, info in enumerate(r.footer.stripes):
+        st = r.stripe_statistics()[si]
+        if st[1]["max"] >= lo and st[1]["min"] <= hi:
+            surviving.add(si)
+    assert 0 < len(surviving) < n_stripes
+    for si, info in enumerate(r.footer.stripes):
+        if si in surviving:
+            continue
+        s0, s1 = info.offset, info.offset + info.index_length + info.data_length
+        for off, n in data_reads:
+            assert not (off < s1 and off + (n or 0) > s0), (si, off, n)
