@@ -1482,6 +1482,146 @@ ORDER BY qs.query_id
 # registry
 # --------------------------------------------------------------------------
 
+
+# --------------------------------------------------------------------------
+# additional training-pipeline operators (round 3)
+# --------------------------------------------------------------------------
+
+_KNUTH = 2654435761  # Knuth multiplicative hash constant
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep-rate derived
+    from the source name, membership by a multiplicative hash of doc_id
+    — reproducible across engines and runs (no rand(), no shuffle; at
+    100 TB this is a pure scan+filter that downsamples noisy sources
+    with an auditable rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = "100 + (length(source) * 37 + ascii(substr(source, 1, 1))) % 400"
+    keep = f"(doc_id * {_KNUTH}) % 4294967296 % 1000 < {rate}"
+    return (
+        docs.filter(F.expr(keep))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT source, COUNT(*) AS kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       MIN(doc_id) AS first_doc
+FROM documents
+WHERE (doc_id * {_KNUTH}) % 4294967296 % 1000
+      < 100 + (length(source) * 37 + ascii(substr(source, 1, 1))) % 400
+GROUP BY source ORDER BY source
+"""
+
+
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k terms (the n-gram-count primitive behind
+    vocabulary building / contamination checks): explode words,
+    hash-aggregate, total-order top 20. Scales as one shuffle on the
+    word key; ties broken by word so the result is deterministic."""
+    w = dl.words(SPARK)
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(w)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+
+
+SQL_TOP_WORDS = f"""
+SELECT w AS word, COUNT(*) AS cnt
+FROM documents, UNNEST({dl.words(DUCK)}) AS t(w)
+GROUP BY w ORDER BY cnt DESC, word LIMIT 20
+"""
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher/C4-style quality signal):
+    1 - distinct_words/words, quantized to 1e6 fixed point per row so
+    the per-lang aggregate is exact-integer math in both engines."""
+    w = dl.words(SPARK)
+    rep_q = (
+        f"CAST(ROUND((1.0 - CAST(size(array_distinct({w})) AS DOUBLE)"
+        f" / greatest(size({w}), 1)) * 1000000) AS BIGINT)"
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.expr(rep_q).alias("rep_q"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.expr("CAST(ROUND(AVG(rep_q)) AS BIGINT)").alias("avg_rep_q"),
+            F.sum(F.when(F.col("rep_q") > 300000, 1).otherwise(0)).alias("high_rep_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+_REP_Q_DUCK = (
+    f"CAST(ROUND((1.0 - CAST(len(list_distinct({dl.words(DUCK)})) AS DOUBLE)"
+    f" / greatest(len({dl.words(DUCK)}), 1)) * 1000000) AS BIGINT)"
+)
+
+SQL_REPETITION_SCORE = f"""
+WITH d AS (SELECT lang, {_REP_Q_DUCK} AS rep_q FROM documents)
+SELECT lang, COUNT(*) AS docs,
+       CAST(ROUND(AVG(rep_q)) AS BIGINT) AS avg_rep_q,
+       CAST(SUM(CASE WHEN rep_q > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS high_rep_docs
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+# bracket-only character classes: identical literal in Spark SQL (which
+# backslash-escapes inside string literals) and DuckDB (which does not)
+_URL_PAT = "https?://[a-z0-9./_-]+"
+_NUM_PAT = "[0-9][0-9][0-9]+"
+
+
+def q_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrub accounting: per source, documents containing URLs
+    and long digit runs + total match counts — the audit table a
+    scrubbing pass emits before rewriting text. Pure regexp scan,
+    embarrassingly parallel."""
+    docs = _t(spark, sf_dir, "documents")
+    url_n = f"size(regexp_extract_all(lower(text), '{_URL_PAT}', 0))"
+    num_n = f"size(regexp_extract_all(lower(text), '{_NUM_PAT}', 0))"
+    return (
+        docs.select(
+            "source",
+            F.expr(url_n).alias("url_n"),
+            F.expr(num_n).alias("num_n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.when(F.col("url_n") > 0, 1).otherwise(0)).alias("docs_with_url"),
+            F.sum("url_n").alias("urls"),
+            F.sum(F.when(F.col("num_n") > 0, 1).otherwise(0)).alias("docs_with_num"),
+            F.sum("num_n").alias("nums"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SCRUB_COUNTS = f"""
+SELECT source, COUNT(*) AS docs,
+       CAST(SUM(CASE WHEN len(regexp_extract_all(lower(text), '{_URL_PAT}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url,
+       CAST(SUM(len(regexp_extract_all(lower(text), '{_URL_PAT}'))) AS BIGINT) AS urls,
+       CAST(SUM(CASE WHEN len(regexp_extract_all(lower(text), '{_NUM_PAT}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_num,
+       CAST(SUM(len(regexp_extract_all(lower(text), '{_NUM_PAT}'))) AS BIGINT) AS nums
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # relational parity
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -1511,6 +1651,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "top_words": (q_top_words, SQL_TOP_WORDS),
+    "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
+    "scrub_counts": (q_scrub_counts, SQL_SCRUB_COUNTS),
     # dedup
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
