@@ -416,7 +416,10 @@ def rle_v2_encode(vals: np.ndarray, signed: bool = True) -> bytes:
 
 
 def rle_v2_decode(buf: bytes | np.ndarray, n: int, signed: bool = True) -> np.ndarray:
-    """Decode ``n`` values from a concatenation of RLEv2 runs -> int64."""
+    """Decode ``n`` values from a concatenation of RLEv2 runs -> int64.
+
+    The final run is CLAMPED to n: a bounded decode that starts
+    mid-stream (ROW_INDEX positional seek) may stop inside a run."""
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     out = np.empty(n, dtype=np.int64)
     filled = 0
@@ -429,8 +432,9 @@ def rle_v2_decode(buf: bytes | np.ndarray, n: int, signed: bool = True) -> np.nd
             count = (header & 0x7) + 3
             u = int.from_bytes(raw[pos + 1 : pos + 1 + w].tobytes(), "big")
             val = zigzag_decode_scalar(u) if signed else u
-            out[filled : filled + count] = val
-            filled += count
+            take = min(count, n - filled)
+            out[filled : filled + take] = val
+            filled += take
             pos += 1 + w
         elif tag == _DIRECT:
             wc = (header >> 1) & 0x1F
@@ -438,8 +442,10 @@ def rle_v2_decode(buf: bytes | np.ndarray, n: int, signed: bool = True) -> np.nd
             length = (((header & 1) << 8) | int(raw[pos + 1])) + 1
             nbytes = (length * w + 7) // 8
             u = bit_unpack(raw[pos + 2 : pos + 2 + nbytes], w, length)
-            out[filled : filled + length] = zigzag_decode(u) if signed else u.view(np.int64)
-            filled += length
+            take = min(length, n - filled)
+            dec = zigzag_decode(u) if signed else u.view(np.int64)
+            out[filled : filled + take] = dec[:take]
+            filled += take
             pos += 2 + nbytes
         elif tag == _PATCHED_BASE:
             wc = (header >> 1) & 0x1F
@@ -467,8 +473,9 @@ def rle_v2_decode(buf: bytes | np.ndarray, n: int, signed: bool = True) -> np.nd
             patch_vals = entries & ((np.uint64(1) << np.uint64(pw)) - np.uint64(1))
             idx = np.cumsum(gaps)
             data[idx] |= patch_vals << np.uint64(w)
-            out[filled : filled + length] = data.view(np.int64) + base
-            filled += length
+            take = min(length, n - filled)
+            out[filled : filled + take] = (data.view(np.int64) + base)[:take]
+            filled += take
             pos = p
         else:  # DELTA
             wc = (header >> 1) & 0x1F
@@ -491,7 +498,8 @@ def rle_v2_decode(buf: bytes | np.ndarray, n: int, signed: bool = True) -> np.nd
                 mags = bit_unpack(raw[p : p + nbytes], w, length - 2).view(np.int64)
                 steps[2:] = -mags if d0 < 0 else mags
                 p += nbytes
-            out[filled : filled + length] = np.cumsum(steps)
-            filled += length
+            take = min(length, n - filled)
+            out[filled : filled + take] = np.cumsum(steps)[:take]
+            filled += take
             pos = p
     return out

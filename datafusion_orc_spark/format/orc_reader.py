@@ -112,6 +112,137 @@ class _StripeReader:
     def has_stream(self, column: int, kind: int) -> bool:
         return (column, kind) in self.streams
 
+    def stream_at(self, column: int, kind: int, pos: list[int]) -> tuple[bytes, list[int]]:
+        """Stream bytes starting at a ROW_INDEX position; returns
+        (bytes from the seek point, remaining codec positions).
+
+        Compressed: pos = [chunk byte offset, offset in decompressed
+        chunk, ...codec]; uncompressed: [byte offset, ...codec]."""
+        raw = self.streams.get((column, kind))
+        if raw is None:
+            return b"", pos[1:]
+        comp = self.orc.postscript.compression
+        if comp == 0:
+            return raw[pos[0] :], pos[1:]
+        return decompress_stream(raw[pos[0] :], comp)[pos[1] :], pos[2:]
+
+    # positions-per-stream arity (codec part; compression adds 1):
+    # raw byte streams 1, RLE streams 2, boolean bit streams 3
+    _POS_RAW, _POS_RLE, _POS_BOOL = 1, 2, 3
+
+    def decode_column_range(
+        self, col: int, entry_positions: list[int], n_rows: int
+    ) -> pa.Array | None:
+        """Decode ``n_rows`` rows of this column starting at a row-group
+        boundary, SEEKING every stream via the group's RowIndexEntry
+        positions (ORC-Java's reader machinery, mirrored): the stream is
+        entered at its recorded (chunk, offset) and the codec skips
+        (values-into-run / bit offset) are decoded-and-dropped. Returns
+        None for types/encodings outside the seek fast path (nested,
+        union, decimal, RLEv1 files) — the caller falls back to a full
+        stripe decode + slice, same result."""
+        t = self.orc.footer.types[col]
+        enc = self.encodings[col].kind
+        if enc not in (proto.E_DIRECT_V2, proto.E_DICTIONARY_V2) and t.kind not in (
+            proto.BOOLEAN,
+            proto.BYTE,
+            proto.FLOAT,
+            proto.DOUBLE,
+        ):
+            return None  # RLEv1 (ORC 0.11) positions not wired
+        comp_extra = 1 if self.orc.postscript.compression else 0
+        pos = list(entry_positions)
+        i = 0
+
+        def take(arity: int) -> list[int]:
+            nonlocal i
+            a = arity + comp_extra
+            p = pos[i : i + a]
+            i += a
+            return p
+
+        valid = np.ones(n_rows, dtype=bool)
+        if self.has_stream(col, proto.S_PRESENT):
+            buf, rest = self.stream_at(col, proto.S_PRESENT, take(self._POS_BOOL))
+            byte_skip, bit = rest
+            packed = byte_rle_decode(
+                np.frombuffer(buf, dtype=np.uint8), byte_skip + (bit + n_rows + 7) // 8
+            )[byte_skip:]
+            valid = np.unpackbits(packed)[bit : bit + n_rows].astype(bool)
+        n_vals = int(valid.sum())
+        k = t.kind
+
+        def rle_at(kind: int, n: int, signed: bool) -> np.ndarray:
+            buf, rest = self.stream_at(col, kind, take(self._POS_RLE))
+            skip = rest[0]
+            return rle_v2_decode(np.frombuffer(buf, dtype=np.uint8), skip + n, signed=signed)[skip:]
+
+        if k == proto.BOOLEAN:
+            buf, rest = self.stream_at(col, proto.S_DATA, take(self._POS_BOOL))
+            byte_skip, bit = rest
+            packed = byte_rle_decode(
+                np.frombuffer(buf, dtype=np.uint8), byte_skip + (bit + n_vals + 7) // 8
+            )[byte_skip:]
+            vals = np.unpackbits(packed)[bit : bit + n_vals].astype(bool)
+            return self._primitive(pa.bool_(), vals, valid, n_rows)
+        if k == proto.BYTE:
+            buf, rest = self.stream_at(col, proto.S_DATA, take(self._POS_RLE))
+            skip = rest[0]
+            vals = byte_rle_decode(np.frombuffer(buf, dtype=np.uint8), skip + n_vals)[skip:]
+            return self._primitive(pa.int8(), vals.view(np.int8), valid, n_rows)
+        if k in (proto.SHORT, proto.INT, proto.LONG, proto.DATE):
+            vals = rle_at(proto.S_DATA, n_vals, signed=True)
+            typ = {
+                proto.SHORT: pa.int16(),
+                proto.INT: pa.int32(),
+                proto.LONG: pa.int64(),
+                proto.DATE: pa.date32(),
+            }[k]
+            np_t = np.int32 if k == proto.DATE else typ.to_pandas_dtype()
+            return self._primitive(typ, vals.astype(np_t), valid, n_rows)
+        if k in (proto.FLOAT, proto.DOUBLE):
+            buf, _rest = self.stream_at(col, proto.S_DATA, take(self._POS_RAW))
+            dt = "<f4" if k == proto.FLOAT else "<f8"
+            vals = np.frombuffer(buf, dtype=dt, count=n_vals)
+            return self._primitive(pa.float32() if k == proto.FLOAT else pa.float64(), vals, valid, n_rows)
+        if k in (proto.STRING, proto.VARCHAR, proto.CHAR, proto.BINARY):
+            typ = pa.binary() if k == proto.BINARY else pa.string()
+            if enc == proto.E_DICTIONARY_V2:
+                idx = rle_at(proto.S_DATA, n_vals, signed=False)
+                blob = self.stream(col, proto.S_DICTIONARY_DATA)
+                dict_size = self.encodings[col].dictionary_size
+                dl_ = rle_v2_decode(self.stream(col, proto.S_LENGTH), dict_size, signed=False)
+                offsets = np.zeros(dict_size + 1, dtype=np.int64)
+                np.cumsum(dl_, out=offsets[1:])
+                starts = offsets[idx]
+                lens = offsets[idx + 1] - starts
+                out_off = np.zeros(n_vals + 1, dtype=np.int64)
+                np.cumsum(lens, out=out_off[1:])
+                b = np.frombuffer(blob, dtype=np.uint8)
+                flat_idx = np.repeat(starts - out_off[:-1], lens) + np.arange(int(out_off[-1]))
+                gather = b[flat_idx] if n_vals else np.empty(0, np.uint8)
+                return self._varlen(typ, out_off, gather.tobytes(), valid, n_rows)
+            buf, _rest = self.stream_at(col, proto.S_DATA, take(self._POS_RAW))
+            lengths = rle_at(proto.S_LENGTH, n_vals, signed=False)
+            offsets = np.zeros(n_vals + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            return self._varlen(typ, offsets, buf[: int(offsets[-1])], valid, n_rows)
+        if k in (proto.TIMESTAMP, proto.TIMESTAMP_INSTANT):
+            secs = rle_at(proto.S_DATA, n_vals, signed=True)
+            nanos_enc = rle_at(proto.S_SECONDARY, n_vals, signed=False)
+            zeros = (nanos_enc.view(np.uint64) & np.uint64(7)).astype(np.int64)
+            nanos = (nanos_enc >> 3) * np.power(10, np.where(zeros > 0, zeros + 1, 0))
+            abs_secs = secs + 1420070400
+            abs_secs -= ((abs_secs < 0) & (nanos > 999999)).astype(np.int64)
+            total = abs_secs * 1_000_000_000 + nanos
+            return self._primitive(
+                pa.timestamp("ns", tz="UTC" if k == proto.TIMESTAMP_INSTANT else None),
+                total,
+                valid,
+                n_rows,
+            )
+        return None  # nested / union / decimal: caller falls back
+
     # ---- column decode (recursive over the type tree) ----
 
     def decode_column(self, col: int, n: int) -> pa.Array:
@@ -460,17 +591,63 @@ class OrcReader:
                             (g * stride, min((g + 1) * stride, info.number_of_rows))
                             for g in groups
                         ]
-            arrays = [sr.decode_column(root.subtypes[i], info.number_of_rows) for i in sel]
-            batch = pa.RecordBatch.from_arrays(arrays, out_names)
-            del sr, arrays
+            batch = None
             if row_ranges is not None:
-                batch = pa.RecordBatch.from_arrays(
-                    [
-                        pa.concat_arrays([c.slice(s, e - s) for s, e in row_ranges])
-                        for c in batch.columns
-                    ],
-                    out_names,
-                )
+                # positional seek: enter every stream at the surviving
+                # group's recorded positions and decode ONLY those rows —
+                # decode CPU inside foreign stripes scales with surviving
+                # rows, not stripe rows. Any column outside the seek fast
+                # path falls back to full decode + slice below.
+                from datafusion_orc_spark.format.orc_index import parse_row_index
+
+                col_entries = {}
+                for i in sel:
+                    cid = root.subtypes[i]
+                    col_entries[cid] = (
+                        parse_row_index(sr.stream(cid, proto.S_ROW_INDEX))
+                        if sr.has_stream(cid, proto.S_ROW_INDEX)
+                        else []
+                    )
+                range_batches = []
+                ok = True
+                for s, e in row_ranges:
+                    g0 = s // stride
+                    arrays = []
+                    for i in sel:
+                        entries = col_entries[root.subtypes[i]]
+                        arr = None
+                        if g0 < len(entries):
+                            arr = sr.decode_column_range(
+                                root.subtypes[i], entries[g0]["positions"], e - s
+                            )
+                        if arr is None:
+                            ok = False
+                            break
+                        arrays.append(arr)
+                    if not ok:
+                        break
+                    range_batches.append(arrays)
+                if ok and range_batches:
+                    batch = pa.RecordBatch.from_arrays(
+                        [
+                            pa.concat_arrays([rb[j] for rb in range_batches])
+                            for j in range(len(sel))
+                        ],
+                        out_names,
+                    )
+            if batch is None:
+                arrays = [sr.decode_column(root.subtypes[i], info.number_of_rows) for i in sel]
+                batch = pa.RecordBatch.from_arrays(arrays, out_names)
+                del arrays
+                if row_ranges is not None:
+                    batch = pa.RecordBatch.from_arrays(
+                        [
+                            pa.concat_arrays([c.slice(s, e - s) for s, e in row_ranges])
+                            for c in batch.columns
+                        ],
+                        out_names,
+                    )
+            del sr
             if batch_rows is None or batch.num_rows <= batch_rows:
                 yield batch
             else:

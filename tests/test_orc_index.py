@@ -169,3 +169,86 @@ def test_pruned_read_skips_stripes_and_row_groups(spark, tmp_path):
         s0, s1 = info.offset, info.offset + info.index_length + info.data_length
         for off, n in data_reads:
             assert not (off < s1 and off + (n or 0) > s0), (si, off, n)
+
+
+def test_positional_seek_matches_full_decode(spark, tmp_path):
+    """decode_column_range must reproduce full-decode slices exactly for
+    every seekable stream shape on an ORC-Java-written file (snappy,
+    multi-group), including PRESENT, dictionary and direct strings,
+    bool, tinyint, floats and timestamps."""
+    import glob
+
+    from datafusion_orc_spark.format.orc_reader import OrcReader
+
+    p = str(tmp_path / "java_seek")
+    spark.range(35000).selectExpr(
+        "id as k",
+        "cast(id % 251 as smallint) as k16",
+        "cast(id % 100 as tinyint) as k8",
+        "id % 2 = 0 as flag",
+        "cast(id as double) / 7 as d",
+        "concat('uniq-', cast(id as string)) as s_uniq",
+        "concat('d', cast(id % 40 as string)) as s_dict",
+        "if(id % 7 = 0, null, id * 3) as nullable",
+        "timestamp_micros(cast(id * 1000003 as long)) as ts",
+        "date_add(date'2020-01-01', cast(id % 3000 as int)) as dt",
+    ).coalesce(1).write.orc(p)
+    f = glob.glob(f"{p}/*.orc")[0]
+    r = OrcReader(f)
+    full = r.read()
+    # prune to a window that survives only row group 2 (rows 20000..29999)
+    got = OrcReader(f).read(prune={"k": (23000, 23500)})
+    lo = full.column("k").to_pylist().index(got.column("k")[0].as_py())
+    expect = full.slice(lo, got.num_rows)
+    for name in full.schema.names:
+        assert got.column(name).combine_chunks().equals(
+            expect.column(name).combine_chunks()
+        ), name
+    assert got.num_rows == 10000  # exactly one row group decoded
+    # the seek path must not fall back to whole-stripe decode
+    import pytest as _pytest
+    from datafusion_orc_spark.format import orc_reader as orr
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(
+            orr._StripeReader,
+            "decode_column",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("full decode on seek path")),
+        )
+        again = OrcReader(f).read(prune={"k": (23000, 23500)})
+        assert again.num_rows == 10000
+    finally:
+        mp.undo()
+
+
+def test_positional_seek_on_our_writers_files(tmp_path):
+    """Same seek path over OUR writer's multi-group files (zlib)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_orc_spark.format.orc_reader import OrcReader
+    from datafusion_orc_spark.format.orc_writer import write_orc
+
+    n = 40000
+    rng = np.random.default_rng(3)
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "flag": pa.array((np.arange(n) // 3) % 2 == 0),
+        "tiny": pa.array((rng.integers(-128, 128, n)).astype(np.int8)),
+        "val": pa.array(rng.random(n)),
+        "s_uniq": pa.array([f"u-{i:08d}" for i in range(n)]),
+        "s_dict": pa.array([f"d-{i % 40:03d}" for i in range(n)]),
+        "nullable": pa.array([None if i % 7 == 0 else int(i) for i in range(n)], type=pa.int64()),
+        "nflag": pa.array([None if i % 5 == 0 else bool(i % 2) for i in range(n)], type=pa.bool_()),
+    })
+    p = str(tmp_path / "ours_seek.orc")
+    write_orc(t, p, stripe_rows=40000, compression="zlib")  # 4 groups
+    full = OrcReader(p).read()
+    got = OrcReader(p).read(prune={"k": (31000, 31500)})
+    assert got.num_rows == 10000
+    lo = got.column("k")[0].as_py()
+    for name in t.schema.names:
+        assert got.column(name).combine_chunks().equals(
+            full.slice(lo, 10000).column(name).combine_chunks()
+        ), name
