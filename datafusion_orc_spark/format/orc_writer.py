@@ -449,6 +449,63 @@ def _encode_orc_column(
         data, dpos = _rle_grouped(lengths, vstarts, signed=False)
         streams.append((proto.S_LENGTH, data))
         positions.append(dpos)
+    elif pa.types.is_map(typ):
+        offs = np.frombuffer(
+            dense.buffers()[1], dtype=np.int32, count=len(dense) + 1, offset=dense.offset * 4
+        ).astype(np.int64)
+        data, dpos = _rle_grouped(np.diff(offs), vstarts, signed=False)
+        streams.append((proto.S_LENGTH, data))
+        positions.append(dpos)
+    elif pa.types.is_struct(typ):
+        enc = proto.E_DIRECT  # struct: PRESENT only; children are own columns
+    elif pa.types.is_decimal(typ):
+        # ORC DECIMAL: DATA = zigzag varint mantissas (unbounded ints),
+        # SECONDARY = per-value scale (RLEv2 signed). decimal128 has one
+        # scale per type, so the scale stream is a constant run.
+        nd = len(dense)
+        if typ.precision <= 18:
+            # mantissa fits int64: read the low lane of the 16-byte layout
+            raw16 = np.frombuffer(
+                dense.buffers()[1], dtype=np.uint64, count=nd * 2, offset=dense.offset * 16
+            ).reshape(nd, 2)
+            mant = raw16[:, 0].view(np.int64)
+            with np.errstate(over="ignore"):
+                u = ((mant << 1) ^ (mant >> 63)).view(np.uint64)
+            from datafusion_orc_spark.codecs.varint import varint_encode
+
+            data = varint_encode(u)
+            # per-value varint byte lengths -> raw positions at vstarts
+            from datafusion_orc_spark.codecs.bitpack import bit_widths as _bw
+
+            vlens = np.maximum(1, -(-_bw(np.maximum(u, 1)) // 7))
+            voff = np.zeros(nd + 1, dtype=np.int64)
+            np.cumsum(vlens, out=voff[1:])
+            dpos = [[int(voff[v])] for v in vstarts]
+        else:
+            parts = []
+            voff_l = [0]
+            for d in dense.to_pylist():
+                m = int(d.scaleb(typ.scale)) if d is not None else 0
+                zz = (-m << 1) - 1 if m < 0 else (m << 1)  # zigzag, arbitrary precision
+                b = bytearray()
+                x = zz
+                while True:
+                    if x > 0x7F:
+                        b.append((x & 0x7F) | 0x80)
+                        x >>= 7
+                    else:
+                        b.append(x)
+                        break
+                parts.append(bytes(b))
+                voff_l.append(voff_l[-1] + len(b))
+            data = b"".join(parts)
+            dpos = [[voff_l[v]] for v in vstarts]
+        streams.append((proto.S_DATA, data))
+        positions.append(dpos)
+        scales = np.full(nd, typ.scale, dtype=np.int64)
+        d2, p2 = _rle_grouped(scales, vstarts, signed=True)
+        streams.append((proto.S_SECONDARY, d2))
+        positions.append(p2)
     else:
         raise NotImplementedError(f"orc_writer: type {typ}")
     return streams, enc, dict_size, positions
@@ -646,38 +703,27 @@ def write_orc(
         f.write(bytes(out))
 
 
+def _type_width(typ: pa.DataType) -> int:
+    """Number of ORC type-tree ids this Arrow type occupies (pre-order)."""
+    if pa.types.is_list(typ):
+        return 1 + _type_width(typ.value_type)
+    if pa.types.is_map(typ):
+        return 1 + _type_width(typ.key_type) + _type_width(typ.item_type)
+    if pa.types.is_struct(typ):
+        return 1 + sum(_type_width(f.type) for f in typ)
+    return 1
+
+
 def _reorder_root_first(schema: pa.Schema) -> tuple[list[bytes], list]:
     """Serialize the type tree with proper pre-order ORC ids (root=0)."""
-    entries: list[bytes] = []
-    arrow_types: list = []
-
-    def count(typ: pa.DataType) -> int:
-        if pa.types.is_list(typ):
-            return 1 + count(typ.value_type)
-        return 1
-
-    def add(typ: pa.DataType, my_id: int) -> None:
-        if typ in _PRIM_KINDS or pa.types.is_timestamp(typ):
-            entries.append(_field_varint(1, _PRIM_KINDS.get(typ, proto.TIMESTAMP)))
-            arrow_types.append(typ)
-        elif pa.types.is_list(typ):
-            entries.append(_field_varint(1, proto.LIST) + _packed_varints(2, [my_id + 1]))
-            arrow_types.append(typ)
-            add(typ.value_type, my_id + 1)
-        else:
-            raise NotImplementedError(str(typ))
-
     sub_ids = []
     next_id = 1
     for f in schema:
         sub_ids.append(next_id)
-        next_id += count(f.type)
+        next_id += _type_width(f.type)
     root = _field_varint(1, proto.STRUCT) + _packed_varints(2, sub_ids)
     for f in schema:
         root += _field_bytes(3, f.name.encode())
-    entries.append(root)
-    arrow_types.append(None)
-    # entries currently [root] at END via recursion order; rebuild properly:
     ordered: list[bytes] = [root]
     arrow_ordered: list = [None]
 
@@ -688,10 +734,39 @@ def _reorder_root_first(schema: pa.Schema) -> tuple[list[bytes], list]:
         elif pa.types.is_timestamp(typ):
             ordered.append(_field_varint(1, proto.TIMESTAMP))
             arrow_ordered.append(typ)
+        elif pa.types.is_decimal(typ):
+            ordered.append(
+                _field_varint(1, proto.DECIMAL)
+                + _field_varint(5, typ.precision)
+                + _field_varint(6, typ.scale)
+            )
+            arrow_ordered.append(typ)
         elif pa.types.is_list(typ):
             ordered.append(_field_varint(1, proto.LIST) + _packed_varints(2, [my_id + 1]))
             arrow_ordered.append(typ)
             add2(typ.value_type, my_id + 1)
+        elif pa.types.is_map(typ):
+            kid = my_id + 1
+            vid = kid + _type_width(typ.key_type)
+            ordered.append(_field_varint(1, proto.MAP) + _packed_varints(2, [kid, vid]))
+            arrow_ordered.append(typ)
+            add2(typ.key_type, kid)
+            add2(typ.item_type, vid)
+        elif pa.types.is_struct(typ):
+            cids = []
+            nid = my_id + 1
+            for f in typ:
+                cids.append(nid)
+                nid += _type_width(f.type)
+            ent = _field_varint(1, proto.STRUCT) + _packed_varints(2, cids)
+            for f in typ:
+                ent += _field_bytes(3, f.name.encode())
+            ordered.append(ent)
+            arrow_ordered.append(typ)
+            for f, cid in zip(typ, cids):
+                add2(f.type, cid)
+        else:
+            raise NotImplementedError(str(typ))
 
     for f, sid in zip(schema, sub_ids):
         add2(f.type, sid)
@@ -711,12 +786,37 @@ def _assign_arrays(schema: pa.Schema, tbl: pa.Table, out: dict, group_starts: li
         my_id = next_id
         next_id += 1
         out[my_id] = (arr, typ, gstarts)
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         if pa.types.is_list(typ):
-            a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
             lens = pc.list_value_length(a).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
             cum = np.zeros(len(lens) + 1, dtype=np.int64)
             np.cumsum(lens, out=cum[1:])
             walk(pc.list_flatten(a), typ.value_type, [int(cum[g]) for g in gstarts])
+        elif pa.types.is_map(typ):
+            # ORC MAP: children carry entries of NON-NULL rows only
+            offs = np.frombuffer(a.buffers()[1], dtype=np.int32, count=len(a) + 1, offset=a.offset * 4).astype(np.int64)
+            valid = pc.is_valid(a).to_numpy(zero_copy_only=False)
+            row_lens = np.where(valid, np.diff(offs), 0)
+            cum = np.zeros(len(a) + 1, dtype=np.int64)
+            np.cumsum(row_lens, out=cum[1:])
+            # gather entry indices of valid rows (null rows may still span)
+            starts = offs[:-1][valid]
+            take = np.repeat(starts - cum[:-1][valid], row_lens[valid]) + np.arange(int(cum[-1]))
+            keys = a.keys.take(pa.array(take, type=pa.int64()))
+            items = a.items.take(pa.array(take, type=pa.int64()))
+            child_starts = [int(cum[g]) for g in gstarts]
+            walk(keys, typ.key_type, child_starts)
+            walk(items, typ.item_type, child_starts)
+        elif pa.types.is_struct(typ):
+            valid = pc.is_valid(a).to_numpy(zero_copy_only=False)
+            cumv = np.zeros(len(a) + 1, dtype=np.int64)
+            np.cumsum(valid, out=cumv[1:])
+            child_starts = [int(cumv[g]) for g in gstarts]
+            sel = pa.array(np.flatnonzero(valid), type=pa.int64())
+            for i, f in enumerate(typ):
+                # children carry values of NON-NULL struct rows only
+                ch = a.field(i) if not a.null_count else a.field(i).take(sel)
+                walk(ch, f.type, child_starts)
 
     for i, f in enumerate(schema):
         col = tbl.column(i)

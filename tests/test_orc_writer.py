@@ -342,3 +342,56 @@ def test_spark_row_group_seek_all_types_exact(spark, tmp_path):
         whole_s = int((dt.replace(microsecond=0) - datetime(1970, 1, 1, tzinfo=timezone.utc)).total_seconds())
         got_us = whole_s * 1_000_000 + dt.microsecond
         assert got_us == (i * 1_000_003 + 1_400_000_000_000_000_000) // 1000  # Spark is us-precision
+
+
+def test_decimal_struct_map_write_roundtrip_and_seek(spark, tmp_path):
+    """DECIMAL (both <=18 and 38-digit), STRUCT (nullable, with its own
+    null children) and MAP (nullable) columns: bit-exact through the ORC
+    C++ reader AND through Spark's row-group seek on a multi-group
+    stripe (positions for raw-varint decimal DATA, struct PRESENT and
+    map LENGTH streams all consumed by ORC-Java's seek machinery)."""
+    from decimal import Decimal
+
+    import pyarrow.orc
+
+    n = 30000
+    rng = np.random.default_rng(2)
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "dec": pa.array(
+            [Decimal(int(v)).scaleb(-5) for v in rng.integers(-10**12, 10**12, n)],
+            type=pa.decimal128(15, 5),
+        ),
+        "bigdec": pa.array(
+            [Decimal(int(v) * 10**20 + 7).scaleb(-10) for v in rng.integers(-10**9, 10**9, n)],
+            type=pa.decimal128(38, 10),
+        ),
+        "st": pa.array(
+            [{"a": int(i), "b": None if i % 11 == 0 else f"s{i % 9}"} if i % 6 else None for i in range(n)],
+            type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+        ),
+        "mp": pa.array(
+            [{f"k{j}": j * i for j in range(i % 4)} if i % 5 else None for i in range(n)],
+            type=pa.map_(pa.string(), pa.int64()),
+        ),
+    })
+    p = str(tmp_path / "nested_mg.orc")
+    write_orc(t, p, stripe_rows=30000, compression="snappy")  # 3 row groups
+    back = pyarrow.orc.ORCFile(p).read()
+    for name in t.schema.names:
+        a, b = back.column(name).combine_chunks(), t.column(name).combine_chunks()
+        assert a.equals(b) or a.to_pylist() == b.to_pylist(), name
+
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    got = spark.read.orc(p).filter("k >= 23456 and k < 23460").orderBy("k").collect()
+    assert len(got) == 4
+    for row in got:
+        i = row["k"]
+        assert str(row["dec"]) == str(t.column("dec")[i].as_py())
+        assert str(row["bigdec"]) == str(t.column("bigdec")[i].as_py())
+        st = t.column("st")[i].as_py()
+        got_st = None if row["st"] is None else {"a": row["st"]["a"], "b": row["st"]["b"]}
+        assert got_st == st
+        mp = t.column("mp")[i].as_py()
+        got_mp = None if row["mp"] is None else dict(row["mp"])
+        assert got_mp == (None if mp is None else dict(mp))
