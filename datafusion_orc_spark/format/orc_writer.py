@@ -12,15 +12,19 @@ Scope: NONE/SNAPPY/ZLIB/LZ4/ZSTD compression (every stream, stripe
 footer and file footer chunk-framed with the 3-byte (len<<1)|isOriginal
 header — the corpus the reference ships is SNAPPY), DICTIONARY_V2 with
 SORTED symbol tables for strings (ORC writer heuristic: dictionary when
-distinct/total <= 0.8, mirroring orc.dictionary.key.threshold), one type
-tree of boolean/int8/16/32/64/float/double/string/binary/list, nullable
-via PRESENT streams, multiple stripes, and statistics: per-stripe +
-file-level ColumnStatistics (footer field 7 + Metadata section) and
-ROW_INDEX streams (one row group per stripe — rowIndexStride defaults
-to max(10000, stripe_rows) — so index positions are the zero stream
-starts with the spec arity per stream kind), which lets ORC-Java
-SearchArgument / ORC C++ predicate pushdown skip our stripes and lets
-Spark answer min/max/count from footer stats alone.
+distinct/total <= 0.8, mirroring orc.dictionary.key.threshold), the full
+pre-order type tree of boolean/int8/16/32/64/float/double/string/
+binary/date/timestamp/decimal (incl. 38-digit)/list/map/struct/union,
+nullable via PRESENT streams, multiple stripes, and statistics:
+per-stripe + file-level ColumnStatistics (footer field 7 + Metadata
+section) and ROW_INDEX with MULTIPLE row groups per stripe
+(rowIndexStride default 10000) carrying REAL per-stream seek positions
+— RLEv2 streams restart a run at each stride boundary, byte/bool RLE
+record (run offset, skip, bit) via encoder control maps, raw streams
+record byte offsets, and compression maps them to (chunk, in-chunk)
+pairs — which lets ORC-Java SearchArgument / ORC C++ / Spark skip our
+stripes AND seek inside them, and answer min/max/count from footer
+stats alone.
 """
 
 from __future__ import annotations
@@ -458,6 +462,19 @@ def _encode_orc_column(
         positions.append(dpos)
     elif pa.types.is_struct(typ):
         enc = proto.E_DIRECT  # struct: PRESENT only; children are own columns
+    elif pa.types.is_union(typ):
+        # DATA = per-row child tag, byte-RLE (dense unions carry no nulls)
+        tags = np.frombuffer(dense.buffers()[1], dtype=np.int8, count=len(dense), offset=dense.offset)
+        raw = tags.view(np.uint8)
+        if multi:
+            data, c_out, c_in = byte_rle_encode(raw, return_controls=True)
+            dpos = [_ctrl_pos(c_out, c_in, v) for v in vstarts]
+        else:
+            data = byte_rle_encode(raw)
+            dpos = [[0, 0]]
+        streams.append((proto.S_DATA, data))
+        positions.append(dpos)
+        enc = proto.E_DIRECT
     elif pa.types.is_decimal(typ):
         # ORC DECIMAL: DATA = zigzag varint mantissas (unbounded ints),
         # SECONDARY = per-value scale (RLEv2 signed). decimal128 has one
@@ -711,6 +728,8 @@ def _type_width(typ: pa.DataType) -> int:
         return 1 + _type_width(typ.key_type) + _type_width(typ.item_type)
     if pa.types.is_struct(typ):
         return 1 + sum(_type_width(f.type) for f in typ)
+    if pa.types.is_union(typ):
+        return 1 + sum(_type_width(typ.field(i).type) for i in range(typ.num_fields))
     return 1
 
 
@@ -765,6 +784,17 @@ def _reorder_root_first(schema: pa.Schema) -> tuple[list[bytes], list]:
             arrow_ordered.append(typ)
             for f, cid in zip(typ, cids):
                 add2(f.type, cid)
+        elif pa.types.is_union(typ):
+            cids = []
+            nid = my_id + 1
+            fields = [typ.field(i) for i in range(typ.num_fields)]
+            for f in fields:
+                cids.append(nid)
+                nid += _type_width(f.type)
+            ordered.append(_field_varint(1, proto.UNION) + _packed_varints(2, cids))
+            arrow_ordered.append(typ)
+            for f, cid in zip(fields, cids):
+                add2(f.type, cid)
         else:
             raise NotImplementedError(str(typ))
 
@@ -817,6 +847,16 @@ def _assign_arrays(schema: pa.Schema, tbl: pa.Table, out: dict, group_starts: li
                 # children carry values of NON-NULL struct rows only
                 ch = a.field(i) if not a.null_count else a.field(i).take(sel)
                 walk(ch, f.type, child_starts)
+        elif pa.types.is_union(typ):
+            # ORC UNION: child i holds rows tagged i, densely, in ROW order
+            tags = np.frombuffer(a.buffers()[1], dtype=np.int8, count=len(a), offset=a.offset)
+            offsets = np.frombuffer(a.buffers()[2], dtype=np.int32, count=len(a), offset=a.offset * 4)
+            for i in range(typ.num_fields):
+                m = tags == i
+                cumt = np.zeros(len(a) + 1, dtype=np.int64)
+                np.cumsum(m, out=cumt[1:])
+                ch = a.field(i).take(pa.array(offsets[m], type=pa.int64()))
+                walk(ch, typ.field(i).type, [int(cumt[g]) for g in gstarts])
 
     for i, f in enumerate(schema):
         col = tbl.column(i)

@@ -395,3 +395,36 @@ def test_decimal_struct_map_write_roundtrip_and_seek(spark, tmp_path):
         mp = t.column("mp")[i].as_py()
         got_mp = None if row["mp"] is None else dict(row["mp"])
         assert got_mp == (None if mp is None else dict(mp))
+
+
+def test_union_write_roundtrip(tmp_path):
+    """UNION columns (dense, two branches): our writer's tag byte-RLE +
+    dense children round-trip through our reader exactly and through the
+    ORC C++ reader payload-equal (C++ surfaces unions sparsely)."""
+    n = 20000
+    rng = np.random.default_rng(4)
+    tags = (rng.random(n) < 0.4).astype(np.int8)
+    off = np.zeros(n, dtype=np.int32)
+    for i in (0, 1):
+        m = tags == i
+        off[m] = np.arange(int(m.sum()), dtype=np.int32)
+    child0 = pa.array(rng.integers(-10**6, 10**6, int((tags == 0).sum())))
+    child1 = pa.array([f"u{v}" for v in range(int((tags == 1).sum()))])
+    u = pa.UnionArray.from_dense(
+        pa.array(tags, type=pa.int8()), pa.array(off, type=pa.int32()), [child0, child1]
+    )
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)), "u": u})
+    p = str(tmp_path / "union.orc")
+    write_orc(t, p, stripe_rows=8000, compression="snappy")
+    ours = read_orc(p)
+    assert ours.column("u").combine_chunks().to_pylist() == t.column("u").combine_chunks().to_pylist()
+
+    def payload(x):
+        if isinstance(x, dict) and set(x) >= {"0", "1"}:
+            return x["0"] if x["0"] is not None else x["1"]
+        return x
+
+    back = pyarrow.orc.ORCFile(p).read()
+    assert [payload(x) for x in back.column("u").combine_chunks().to_pylist()] == [
+        payload(x) for x in t.column("u").combine_chunks().to_pylist()
+    ]
