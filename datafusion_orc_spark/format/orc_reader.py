@@ -503,6 +503,7 @@ class OrcReader:
             proto.DOUBLE: pa.float64(), proto.STRING: pa.string(), proto.VARCHAR: pa.string(),
             proto.CHAR: pa.string(), proto.BINARY: pa.binary(), proto.DATE: pa.date32(),
             proto.TIMESTAMP: pa.timestamp("ns"),
+            proto.TIMESTAMP_INSTANT: pa.timestamp("ns", tz="UTC"),
         }
         if k in simple:
             return simple[k]

@@ -751,7 +751,12 @@ def _reorder_root_first(schema: pa.Schema) -> tuple[list[bytes], list]:
             ordered.append(_field_varint(1, _PRIM_KINDS[typ]))
             arrow_ordered.append(typ)
         elif pa.types.is_timestamp(typ):
-            ordered.append(_field_varint(1, proto.TIMESTAMP))
+            # tz-aware Arrow timestamps -> TIMESTAMP_INSTANT (kind 18),
+            # naive -> TIMESTAMP; the stream encoding is identical (UTC
+            # seconds-from-2015 + nanos), only the declared kind differs
+            ordered.append(
+                _field_varint(1, proto.TIMESTAMP_INSTANT if typ.tz else proto.TIMESTAMP)
+            )
             arrow_ordered.append(typ)
         elif pa.types.is_decimal(typ):
             ordered.append(

@@ -101,9 +101,14 @@ def read_orc_distributed(
     opener=None,
     file_extension: str | None = ".orc",
     prune: dict | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """Scan ORC files with OUR reader, one task per stripe-range.
 
+    ``where``: a SQL predicate string — simple integer comparison
+    conjuncts are auto-derived into ``prune`` bounds (same parser as
+    decode_table(where=)) and the FULL predicate is re-applied exactly
+    on the scanned rows, so pruning is pure speedup, never semantics.
     ``prune``: {column: (lo, hi)} statistics pushdown — each task skips
     stripes via the file Metadata stats (zero reads) and row groups via
     ROW_INDEX (format/orc_reader.py iter_stripes); conservative, callers
@@ -124,13 +129,20 @@ def read_orc_distributed(
     """
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    from datafusion_orc_spark.operators.encode import _ensure_workers_can_import
+    from datafusion_orc_spark.operators.encode import (
+        _ensure_workers_can_import,
+        prune_bounds_from_predicate,
+    )
     from datafusion_orc_spark.sources.objectstore import (
         LocalStore,
         StoreOpener,
         resolve_store,
     )
 
+    if where is not None:
+        derived = prune_bounds_from_predicate(where)
+        if derived:
+            prune = {**derived, **(prune or {})}
     if opener is None:
         store, norm = resolve_store(path_or_glob)
         if any(c in norm for c in "*?["):
@@ -192,4 +204,7 @@ def read_orc_distributed(
                             arrays.append(pa.nulls(rb.num_rows, merged.field(name).type))
                     yield pa.RecordBatch.from_arrays(arrays, schema=merged)
 
-    return sdf.mapInArrow(scan, spark_schema)
+    out = sdf.mapInArrow(scan, spark_schema)
+    if where is not None:
+        out = out.filter(where)
+    return out

@@ -127,3 +127,18 @@ def test_extension_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="do not end with"):
         read_orc_distributed(spark, path)
     assert read_orc_distributed(spark, path, file_extension=None).count() == 100
+
+
+def test_where_auto_prunes_and_filters_exactly(spark, tmp_path):
+    """read_orc_distributed(where=) derives prune bounds from the
+    predicate AND re-applies it exactly: rows outside the range never
+    come back, even though statistics pruning alone is conservative."""
+    d = str(tmp_path / "t")
+    spark.range(100000).selectExpr(
+        "id as k", "repeat(cast(id as string), 18) as pad"
+    ).coalesce(1).write.option("orc.stripe.size", 262144).orc(d)
+    from datafusion_orc_spark.sources.orc_source import read_orc_distributed
+
+    df = read_orc_distributed(spark, f"{d}/*.orc", where="k >= 55000 and k < 55200")
+    ks = sorted(r["k"] for r in df.collect())
+    assert ks == list(range(55000, 55200))

@@ -428,3 +428,22 @@ def test_union_write_roundtrip(tmp_path):
     assert [payload(x) for x in back.column("u").combine_chunks().to_pylist()] == [
         payload(x) for x in t.column("u").combine_chunks().to_pylist()
     ]
+
+
+def test_timestamp_instant_written_for_tz_aware(tmp_path):
+    """tz-aware Arrow timestamps write as TIMESTAMP_INSTANT (kind 18) —
+    the ORC C++ reader surfaces them tz-aware with identical instants."""
+    n = 5000
+    ns = (np.arange(n, dtype=np.int64) * 999_999_937) + 1_400_000_000_000_000_000
+    t = pa.table({"ts": pa.array(ns, type=pa.int64()).cast(pa.timestamp("ns", tz="UTC"))})
+    p = str(tmp_path / "tsi.orc")
+    write_orc(t, p, compression="snappy")
+    back = pyarrow.orc.ORCFile(p).read()
+    assert str(back.schema.field("ts").type).startswith("timestamp") and back.schema.field("ts").type.tz is not None
+    assert back.column("ts").cast(pa.int64()).combine_chunks().equals(
+        t.column("ts").cast(pa.int64()).combine_chunks()
+    )
+    ours = read_orc(p)
+    assert ours.column("ts").cast(pa.int64()).combine_chunks().equals(
+        t.column("ts").cast(pa.int64()).combine_chunks()
+    )
