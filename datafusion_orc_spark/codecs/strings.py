@@ -153,16 +153,28 @@ def fsst_train(blob: bytes, sample_limit: int = 1 << 16, max_symbols: int = _MAX
     return FsstTable([s for _, s in cands[:max_symbols]])
 
 
-def fsst_encode(blob: bytes, table: FsstTable, boundaries: np.ndarray | None = None) -> bytes:
+def fsst_encode(
+    blob: bytes,
+    table: FsstTable,
+    boundaries: np.ndarray | None = None,
+    return_elements: bool = False,
+):
     """Compress a blob with the trained table, vectorized.
 
     ``boundaries``: optional sorted positions (prefix-sum offsets) that
     digram matches must not span (string boundaries), so a later
     whole-blob decode + original-lengths split reconstructs every value.
+
+    ``return_elements=True`` -> (bytes, elem_id int64[], starts int64[]):
+    the element stream (0..254 = code, 256+b = escape literal) and each
+    element's input byte offset — what _parse_elements would re-derive
+    from the output, minus the re-parse pass (the trainer's hot path).
     """
     b = np.frombuffer(blob, dtype=np.uint8)
     n = len(b)
     if n == 0:
+        if return_elements:
+            return b"", np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         return b""
     if n >= 2:
         digrams = b[:-1].astype(np.int32) * 256 + b[1:]
@@ -205,7 +217,17 @@ def fsst_encode(blob: bytes, table: FsstTable, boundaries: np.ndarray | None = N
     e = np.flatnonzero(lit_escape)
     out[opos[e]] = ESCAPE
     out[opos[e] + 1] = b[e]
-    return out.tobytes()
+    if not return_elements:
+        return out.tobytes()
+    starts = np.flatnonzero(~consumed)  # element start per input position
+    elem_id = np.empty(len(starts), dtype=np.int64)
+    ch = chosen[starts]
+    ls = lit_single[starts]
+    esc = ~ch & ~ls
+    elem_id[ch] = dcode[starts[ch]]
+    elem_id[ls] = scode[starts[ls]]
+    elem_id[esc] = 256 + b[starts[esc]].astype(np.int64)
+    return out.tobytes(), elem_id, starts.astype(np.int64)
 
 
 def fsst_decode(data: bytes, table: FsstTable) -> bytes:
@@ -376,13 +398,12 @@ def fsst_compress_column(blob: bytes, lengths: np.ndarray) -> tuple[bytes, bytes
     base = fsst_train(blob, max_symbols=128)  # leave room for merged symbols
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
-    data = fsst_encode(blob, base, boundaries=offsets[1:-1])
-    elem_id, _starts = _parse_elements(data)
-    # per-element source string: elements never span values, so the
-    # cumulative decoded length locates each element's string
-    elem_len = np.where(elem_id < 256, base.out_len[np.minimum(elem_id, 255)], 1).astype(np.int64)
-    src_start = np.zeros(len(elem_id), dtype=np.int64)
-    np.cumsum(elem_len[:-1], out=src_start[1:])
+    # elements come straight out of the encoder (no re-parse of the byte
+    # stream), and their input offsets locate each element's source
+    # string — elements never span values (boundaries forbid it)
+    data, elem_id, src_start = fsst_encode(
+        blob, base, boundaries=offsets[1:-1], return_elements=True
+    )
     string_id = np.searchsorted(offsets[1:], src_start, side="right")
     elem_id, table = _merge_rounds(elem_id, base, string_id)
     data = _emit_elements(elem_id)
