@@ -241,6 +241,8 @@ def test_positional_seek_on_our_writers_files(tmp_path):
         "s_dict": pa.array([f"d-{i % 40:03d}" for i in range(n)]),
         "nullable": pa.array([None if i % 7 == 0 else int(i) for i in range(n)], type=pa.int64()),
         "nflag": pa.array([None if i % 5 == 0 else bool(i % 2) for i in range(n)], type=pa.bool_()),
+        # nullable dictionary string: PRESENT(4) + index RLE(3) positions
+        "ns_dict": pa.array([None if i % 3 == 0 else f"nd-{i % 20:02d}" for i in range(n)]),
     })
     p = str(tmp_path / "ours_seek.orc")
     write_orc(t, p, stripe_rows=40000, compression="zlib")  # 4 groups
