@@ -55,7 +55,10 @@ def rle_v1_decode(buf: bytes | np.ndarray, n: int, signed: bool = True) -> np.nd
                 delta -= 256
             pos += 1
             u, pos = varint_decode_scalar(raw, pos)
-            base = zigzag_decode_scalar(u) if signed else u
+            if signed:
+                base = zigzag_decode_scalar(u)
+            else:
+                base = u - (1 << 64) if u >= (1 << 63) else u  # int64 wrap
             out[filled : filled + run] = base + delta * np.arange(run, dtype=np.int64)
             filled += run
         else:

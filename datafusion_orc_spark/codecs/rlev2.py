@@ -67,7 +67,9 @@ def _msb_bytes(value: int, nbytes: int) -> bytes:
 
 
 def _encode_short_repeat(out: bytearray, value: int, count: int, signed: bool) -> None:
-    u = zigzag_scalar(value) if signed else int(value)
+    # unsigned streams may carry int64 bit patterns of negative values
+    # (ORC timestamp SECONDARY with signed nanos): emit the uint64 pattern
+    u = zigzag_scalar(value) if signed else (int(value) & 0xFFFFFFFFFFFFFFFF)
     w = max(1, (u.bit_length() + 7) // 8)
     out.append((_SHORT_REPEAT << 6) | ((w - 1) << 3) | (count - 3))
     out.extend(_msb_bytes(u, w))
@@ -104,7 +106,11 @@ def _encode_delta(out: bytearray, vals: np.ndarray, signed: bool, deltas: np.nda
         packed = bit_pack(mags, w)
     out.append((_DELTA << 6) | (wc << 1) | ((n - 1) >> 8))
     out.append((n - 1) & 0xFF)
-    out.extend(varint_encode_scalar(zigzag_scalar(base) if signed else base))
+    out.extend(
+        varint_encode_scalar(
+            zigzag_scalar(base) if signed else (base & 0xFFFFFFFFFFFFFFFF)
+        )
+    )
     out.extend(varint_encode_scalar(zigzag_scalar(d0)))
     out.extend(packed)
 
@@ -431,7 +437,10 @@ def rle_v2_decode(buf: bytes | np.ndarray, n: int, signed: bool = True) -> np.nd
             w = ((header >> 3) & 0x7) + 1
             count = (header & 0x7) + 3
             u = int.from_bytes(raw[pos + 1 : pos + 1 + w].tobytes(), "big")
-            val = zigzag_decode_scalar(u) if signed else u
+            if signed:
+                val = zigzag_decode_scalar(u)
+            else:
+                val = u - (1 << 64) if u >= (1 << 63) else u  # int64 wrap
             take = min(count, n - filled)
             out[filled : filled + take] = val
             filled += take
@@ -482,7 +491,10 @@ def rle_v2_decode(buf: bytes | np.ndarray, n: int, signed: bool = True) -> np.nd
             length = (((header & 1) << 8) | int(raw[pos + 1])) + 1
             p = pos + 2
             ub, p = varint_decode_scalar(raw, p)
-            base = zigzag_decode_scalar(ub) if signed else ub
+            if signed:
+                base = zigzag_decode_scalar(ub)
+            else:
+                base = ub - (1 << 64) if ub >= (1 << 63) else ub  # int64 wrap
             ud, p = varint_decode_scalar(raw, p)
             d0 = zigzag_decode_scalar(ud)
             steps = np.empty(length, dtype=np.int64)

@@ -319,6 +319,25 @@ def _rle_grouped(values: np.ndarray, vstarts: list[int], signed: bool) -> tuple[
     return b"".join(parts), offs
 
 
+def _decimal_to_int_exact(d, scale: int) -> int:
+    """decimal.Decimal -> exact unscaled int mantissa at ``scale``.
+
+    Pure-integer arithmetic from as_tuple(): immune to the active decimal
+    context's precision (the default prec=28 rounds 38-digit mantissas).
+    """
+    sign, digits, exp = d.as_tuple()
+    m = int("".join(map(str, digits)))
+    e = exp + scale
+    if e >= 0:
+        m *= 10**e
+    else:
+        q, r = divmod(m, 10**-e)
+        if r:
+            raise ValueError(f"decimal {d} does not fit scale {scale}")
+        m = q
+    return -m if sign else m
+
+
 def _encode_orc_column(
     arr: pa.Array, typ: pa.DataType, group_starts: list[int] | None = None
 ) -> tuple[list[tuple[int, bytes]], int, int, list[list[list[int]]]]:
@@ -398,12 +417,22 @@ def _encode_orc_column(
         epoch_2015 = 1420070400
         secs1970 = ns // 1_000_000_000
         nanos = (ns % 1_000_000_000).astype(np.int64)
+        # The boundary second (-1s, 0): floor-seconds would be -1, but the
+        # emitted abs second (-1 + 1 = 0) is not < 0, so the reader's
+        # pre-1970 adjustment can never fire and the value reads +1s too
+        # high. ORC C++ represents this interval as second 0 with SIGNED
+        # negative nanos (pyarrow-written files decode correctly through
+        # this repo's reader via the arithmetic shift) — mirror that.
+        boundary = (secs1970 == -1) & (nanos > 999999)
+        secs1970 = np.where(boundary, 0, secs1970)
+        nanos = np.where(boundary, nanos - 1_000_000_000, nanos)
         # pre-1970 quirk (matches ORC-Java writer / ORC C++ reader): the
         # reader does `if (secs < 0 && nanos > 999999) secs -= 1`, so the
         # writer emits floor-seconds + 1 exactly for those rows
         secs = secs1970 + ((secs1970 < 0) & (nanos > 999999)) - epoch_2015
         # removed-trailing-zeros encoding: z zeros stripped -> low3 = z-1
-        # (z >= 2), else low3 = 0 and the full value shifted in
+        # (z >= 2), else low3 = 0 and the full value shifted in; negative
+        # nanos (boundary rows) keep z = 0 and ride the arithmetic shift
         rem = nanos.copy()
         zeros = np.zeros(len(nanos), dtype=np.int64)
         nz = rem > 0
@@ -502,7 +531,10 @@ def _encode_orc_column(
             parts = []
             voff_l = [0]
             for d in dense.to_pylist():
-                m = int(d.scaleb(typ.scale)) if d is not None else 0
+                # exact int mantissa via as_tuple: Decimal.scaleb under the
+                # default context (prec=28) silently ROUNDS >28-significant-
+                # digit mantissas, corrupting wide (up to 38-digit) decimals
+                m = _decimal_to_int_exact(d, typ.scale) if d is not None else 0
                 zz = (-m << 1) - 1 if m < 0 else (m << 1)  # zigzag, arbitrary precision
                 b = bytearray()
                 x = zz

@@ -113,9 +113,16 @@ def _rowidx_stream(
             return None
         starts = np.arange(0, n_rows, SUB_BLOCK_ROWS)
         vstarts = row_bounds[starts]
-        vstarts = np.minimum(vstarts, len(vals) - 1)  # guard empty tail rows
-    mins = np.minimum.reduceat(vals, vstarts).astype(np.int64)
-    maxs = np.maximum.reduceat(vals, vstarts).astype(np.int64)
+    # reduceat needs every index < len(vals). Blocks whose first value
+    # offset == len(vals) hold only empty rows: give them sentinel
+    # min>max stats (they can never satisfy a value predicate) instead of
+    # clamping — a clamp would end the PREVIOUS block's segment one value
+    # early, silently dropping the column's final value from its stats.
+    n_real = int(np.searchsorted(vstarts, len(vals), side="left"))
+    mins = np.full(len(starts), np.int64(1) << 62, dtype=np.int64)
+    maxs = np.full(len(starts), -(np.int64(1) << 62), dtype=np.int64)
+    mins[:n_real] = np.minimum.reduceat(vals, vstarts[:n_real])
+    maxs[:n_real] = np.maximum.reduceat(vals, vstarts[:n_real])
     inter = np.empty(2 * len(starts), dtype=np.int64)
     inter[0::2] = mins
     inter[1::2] = maxs
@@ -525,6 +532,13 @@ def decode_column(
     decode + slice, same result either way."""
     codec, n, n_nulls, streams = _parse(blob)
     if row_ranges is not None:
+        # prune_row_ranges emits SUB_BLOCK_ROWS-aligned ranges; the
+        # stripe's last block is usually partial, so clamp to the stripe
+        # row count — an unclamped end would reshape-crash the ranged
+        # bit_unpack or (widths 9..31) fabricate base-valued phantom rows
+        row_ranges = [(max(0, s), min(n, e)) for s, e in row_ranges if s < n]
+        if not row_ranges:
+            return decode_column(blob, typ).slice(0, 0)
         fast = _decode_column_ranged(codec, n, n_nulls, streams, typ, row_ranges)
         if fast is not None:
             return fast
@@ -701,17 +715,20 @@ def prune_row_ranges(
     rows); [] when provably NO row can match (skip the stripe); else the
     merged [start, stop) ranges of surviving SUB_BLOCK_ROWS blocks."""
     sel: set[int] | None = None
+    n_blocks = 0
     for col, (lo, hi) in prune.items():
         blob = blobs.get(col)
         if blob is None:
             continue
-        blocks = surviving_blocks(blob, int(lo), int(hi))
-        if blocks is None:
+        bs = read_block_stats(blob)
+        if bs is None:
             continue
-        ids = set(blocks.tolist())
+        _rows, mins, maxs = bs
+        n_blocks = max(n_blocks, len(mins))
+        ids = set(np.flatnonzero((maxs >= int(lo)) & (mins <= int(hi))).tolist())
         sel = ids if sel is None else (sel & ids)
-    if sel is None:
-        return None
+    if sel is None or len(sel) == n_blocks:
+        return None  # no index, or every block survives: whole-stripe decode
     ranges: list[tuple[int, int]] = []
     for b in sorted(sel):
         s, e = b * SUB_BLOCK_ROWS, (b + 1) * SUB_BLOCK_ROWS

@@ -248,23 +248,33 @@ def test_timestamp_roundtrip_via_orc_cxx(tmp_path):
     assert ours.column("ts").cast(pa.timestamp("us")).to_pylist() == vals
 
 
-def test_timestamp_minus1s_window_matches_reference_writers(tmp_path):
-    """Instants in (-1s, 0) with >=1ms nanos are mangled identically by
-    ORC-Java's writer + ORC C++'s reader (stored secs=floor+1 lands on 0,
-    the reader's `secs < 0` quirk check then never fires — verified by
-    writing the same instant through orc-core via py4j). We mimic the
-    reference byte behavior exactly: our file stores the same (secs,
-    nanos) pair and pyarrow + our reader return the same shifted value."""
+def test_timestamp_minus1s_window_roundtrips_exactly(tmp_path):
+    """Instants in (-1s, 0): the ORC-Java positive-nanos convention can't
+    represent them (stored secs = floor+1 lands on 0, the reader's
+    `secs < 0` quirk check never fires, values read +1s high — ADVICE
+    r3). ORC C++ stores second 0 with SIGNED negative nanos instead, and
+    both pyarrow's reader and ours decode that form exactly — the writer
+    now emits it for this interval. Covers the boundary microsecond, a
+    mid-window value, a trailing-zero-heavy value, and a column shape
+    that RLEs the nanos stream (repeat + delta runs of negative encs)."""
     import datetime as dt
 
-    truth = dt.datetime(1969, 12, 31, 23, 59, 59, 123456)
-    t = pa.table({"ts": pa.array([truth], type=pa.timestamp("us"))})
+    vals = [
+        dt.datetime(1969, 12, 31, 23, 59, 59, 500000),   # -0.5s
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),   # -1us
+        dt.datetime(1969, 12, 31, 23, 59, 59, 123456),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 1000),     # -999ms
+        dt.datetime(1970, 1, 1, 0, 0, 0, 0),             # boundary itself
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999),      # sub-ms: floor path
+        dt.datetime(1969, 12, 31, 23, 59, 58, 123456),   # floor <= -2: +1 quirk
+    ] + [dt.datetime(1969, 12, 31, 23, 59, 59, 500000)] * 16  # short-repeat run
+    t = pa.table({"ts": pa.array(vals, type=pa.timestamp("us"))})
     p = str(tmp_path / "ts_win.orc")
     write_orc(t, p)
     cxx = pa.orc.ORCFile(p).read().column("ts").cast(pa.timestamp("us")).to_pylist()
     ours = read_orc(p).column("ts").cast(pa.timestamp("us")).to_pylist()
-    shifted = dt.datetime(1970, 1, 1, 0, 0, 0, 123456)  # reference behavior
-    assert cxx == [shifted] and ours == [shifted]
+    assert cxx == vals
+    assert ours == vals
 
 
 def test_orc_java_search_argument_skips_row_groups_within_stripe(spark, tmp_path):
@@ -447,3 +457,29 @@ def test_timestamp_instant_written_for_tz_aware(tmp_path):
     assert ours.column("ts").cast(pa.int64()).combine_chunks().equals(
         t.column("ts").cast(pa.int64()).combine_chunks()
     )
+
+
+def test_wide_decimal_exact_mantissa(tmp_path):
+    """>28-significant-digit decimals must write EXACTLY: the previous
+    Decimal.scaleb conversion ran under the default context (prec=28)
+    and silently rounded wide mantissas (ADVICE r3). Verified through
+    both the ORC C++ reader and ours, including negatives and the
+    38-digit extremes."""
+    from decimal import Decimal
+
+    vals = [
+        Decimal("1234567890123456789012345678901234.5678"),
+        Decimal("-9999999999999999999999999999999999.9999"),
+        Decimal("0.0001"),
+        Decimal("-0.0001"),
+        None,
+        Decimal("9999999999999999999999999999999999.9999"),
+        Decimal("1"),
+    ]
+    t = pa.table({"d": pa.array(vals, type=pa.decimal128(38, 4))})
+    p = str(tmp_path / "wide_dec.orc")
+    write_orc(t, p, compression="snappy")
+    cxx = pa.orc.ORCFile(p).read().column("d").to_pylist()
+    ours = read_orc(p).column("d").cast(pa.decimal128(38, 4)).to_pylist()
+    assert cxx == vals
+    assert ours == vals

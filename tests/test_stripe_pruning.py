@@ -236,3 +236,98 @@ def test_decode_column_ranged_seeks_and_matches(monkeypatch):
     monkeypatch.setattr(st, "rle_v2_decode", boom)  # forbp/f never touch RLE
     for name in ("forbp", "f"):
         st.decode_column(blobs[name], cols[name].type, row_ranges=ranges)
+
+
+def test_ranged_decode_clamps_partial_last_block():
+    """A stripe whose row count is not a multiple of SUB_BLOCK_ROWS:
+    pruned ranges touching the final (partial) block must clamp to the
+    stripe's rows — before the clamp the ranged bit_unpack either crashed
+    or (widths 9..31) fabricated base-valued phantom rows (ADVICE r3)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_orc_spark.format import stripe as st
+
+    n = 20_000  # 3 blocks: 8192 + 8192 + 3616
+    rng = np.random.default_rng(7)
+    # random (no runs/deltas) -> int_for_bp; last block in its own value
+    # range so the predicate isolates it; width 15: strided unpack path
+    vals = rng.integers(10**6, 10**6 + 10_000, n).astype(np.int64)
+    vals[16_384:] = rng.integers(10**6 + 20_000, 10**6 + 30_000, n - 16_384)
+    arr = pa.array(vals)
+    blob, stats = st.encode_column(arr)
+    assert stats["codec"] == "int_for_bp", stats["codec"]
+
+    # predicate hits only the partial last block
+    lo, hi = 10**6 + 20_000, 10**6 + 30_000
+    ranges = st.prune_row_ranges({"k": blob}, {"k": (lo, hi)})
+    assert ranges == [(16_384, 24_576)]  # block-aligned, beyond n
+    got = st.decode_column(blob, arr.type, row_ranges=ranges)
+    assert len(got) == n - 16_384
+    assert got.to_numpy().tolist() == vals[16_384:].tolist()
+
+    # array-column (token) flavor: item offsets must clamp identically
+    tok_lens = np.full(n, 3, dtype=np.int64)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tok_lens, out=off[1:])
+    items = np.arange(3 * n, dtype=np.int64) + 5_000_000
+    toks = pa.ListArray.from_arrays(pa.array(off, type=pa.int64()).cast(pa.int32()), pa.array(items))
+    tblob, tstats = st.encode_column(toks)
+    tgot = st.decode_column(tblob, toks.type, row_ranges=[(16_384, 24_576)])
+    texp = st.decode_column(tblob, toks.type).slice(16_384, n - 16_384)
+    assert tgot.equals(texp)
+
+    # degenerate range entirely past the stripe -> empty, same schema
+    empty = st.decode_column(blob, arr.type, row_ranges=[(24_576, 32_768)])
+    assert len(empty) == 0 and empty.type == arr.type
+
+
+def test_prune_row_ranges_all_survive_returns_none():
+    """When every block can match, prune_row_ranges returns None so the
+    caller takes the (cheaper) whole-stripe decode, not the ranged path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_orc_spark.format import stripe as st
+
+    n = 3 * st.SUB_BLOCK_ROWS
+    blob, _ = st.encode_column(pa.array(np.arange(n, dtype=np.int64)))
+    assert st.prune_row_ranges({"k": blob}, {"k": (0, n)}) is None
+    assert st.prune_row_ranges({"k": blob}, {"k": (n + 1, n + 2)}) == []
+
+
+def test_rowidx_trailing_empty_rows_keep_final_value():
+    """A list column whose trailing rows are all empty: the block owning
+    the column's FINAL value must keep that value in its stats — the old
+    len(vals)-1 clamp shifted the boundary and silently pruned it
+    (ADVICE r3). All-empty trailing blocks carry sentinel min>max."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_orc_spark.format import stripe as st
+
+    n = 24_000  # blocks: [0,8192) [8192,16384) [16384,24000)
+    n_vals = 9_000  # rows 0..8999 have one value; 9000..23999 empty
+    lengths = np.concatenate([np.ones(n_vals, np.int64), np.zeros(n - n_vals, np.int64)])
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=off[1:])
+    items = np.arange(n_vals, dtype=np.int64)
+    arr = pa.ListArray.from_arrays(pa.array(off, type=pa.int64()).cast(pa.int32()), pa.array(items))
+    blob, stats = st.encode_column(arr)
+    assert stats["min"] == 0 and stats["max"] == n_vals - 1
+
+    bs = st.read_block_stats(blob)
+    assert bs is not None
+    _rows, mins, maxs = bs
+    assert len(mins) == 3
+    # block 1 owns values 8192..8999 INCLUDING the final value 8999
+    assert mins[1] == 8_192 and maxs[1] == n_vals - 1, (mins, maxs)
+    # the all-empty block carries sentinel min>max: never survives
+    assert mins[2] > maxs[2]
+    keep = st.surviving_blocks(blob, n_vals - 1, n_vals - 1)
+    assert list(keep) == [1]
+    # end-to-end: the matching row decodes through the ranged path
+    ranges = st.prune_row_ranges({"t": blob}, {"t": (n_vals - 1, n_vals - 1)})
+    got = st.decode_column(blob, arr.type, row_ranges=ranges)
+    flat = got.flatten().to_numpy()
+    assert n_vals - 1 in flat
