@@ -332,16 +332,28 @@ def main() -> None:
     )
     extras["engine_bytes"] = int(enc["enc"])
 
-    # representative queries at SF_DIR
-    from datafusion_orc_spark.plans.queries import QUERIES
+    # representative queries at SF_DIR — same honesty protocol as the
+    # encode: 1 untimed warmup (fresh python workers + plan compilation
+    # made r3's single-shot walls look regressed when nothing changed),
+    # then best-of-3 with every wall published beside the best
+    from datafusion_orc_spark.plans.queries import QUERIES, release_quantized_emb
 
+    query_walls: dict[str, list[float]] = {}
     for name in ["pricing_summary", "top_customers", "order_ranks", "token_stats",
                  "dedup_minhash", "ann_cosine_topk", "ann_lsh_topk",
                  "roundtrip_lineitem_agg"]:
         fn, _ = QUERIES[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        results[name] = round(time.time() - t0, 3)
+        fn(spark, SF_DIR).collect()  # warmup, untimed
+        ws = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            ws.append(round(time.time() - t0, 3))
+        query_walls[name] = ws
+        results[name] = min(ws)
+    extras["query_walls"] = query_walls
+    # drop the pinned quantized-embedding cache now the ANN queries ran
+    release_quantized_emb(spark)
 
     # scaling ladder: the identical encode job at 2, 8, and 32 CONCURRENT
     # TASKS on the same input, inside the SAME warm session (parallelism

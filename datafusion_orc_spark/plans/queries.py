@@ -1214,15 +1214,40 @@ SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.5 ORDER BY vec_a, vec_b
 _QUANT_SPARK = "transform({col}, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 
+_QUANT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings + integer-quantized ``q``, CACHED: every ANN/dedup query
     builds from this one plan, so Spark's cache manager (which matches
     canonicalized plan subtrees) computes the quantize pass once per
     session instead of once per query branch (ann_recall alone used to
-    recompute it four times)."""
-    return _t(spark, sf_dir, "embeddings").withColumn(
-        "q", F.expr(_QUANT_SPARK.format(col="embedding"))
-    ).cache()
+    recompute it four times). Registered so release_quantized_emb() can
+    drop the pinned executor storage when the ANN queries are done — in a
+    long-lived session the cache is otherwise a permanent memory tax."""
+    key = (id(spark), sf_dir)
+    df = _QUANT_CACHE.get(key)
+    if df is None:
+        df = _t(spark, sf_dir, "embeddings").withColumn(
+            "q", F.expr(_QUANT_SPARK.format(col="embedding"))
+        ).cache()
+        _QUANT_CACHE[key] = df
+    return df
+
+
+def release_quantized_emb(spark: SparkSession | None = None) -> None:
+    """Unpersist every quantized-embedding cache (or only ``spark``'s).
+
+    Call after the last ANN/near-dup query of a batch; blocking=False so
+    executors free the blocks asynchronously."""
+    for (sid, _dir), df in list(_QUANT_CACHE.items()):
+        if spark is not None and sid != id(spark):
+            continue
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped: nothing is pinned
+        del _QUANT_CACHE[(sid, _dir)]
 _COS_SPARK = (
     "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE) / "
     "(sqrt(CAST(aggregate(qa, 0L, (acc, v) -> acc + v * v) AS DOUBLE)) * "

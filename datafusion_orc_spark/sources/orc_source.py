@@ -18,7 +18,6 @@ error; files missing a merged field yield nulls for it.
 
 from __future__ import annotations
 
-import glob as _glob
 from collections.abc import Iterator
 
 import pyarrow as pa
@@ -171,10 +170,17 @@ def read_orc_distributed(
     spark_schema = from_arrow_schema(merged)
     out_names = list(merged.names)
 
+    # parallelize(n) slices the split list directly into one partition
+    # per split — createDataFrame(...).repartition() here planned an
+    # Exchange over the (tiny) split list: an extra stage barrier + AQE
+    # replan per scan, the exact scheduler tax encode_files removes the
+    # same way (operators/encode.py parallelize slicing)
     sdf = spark.createDataFrame(
-        [(p, s, n) for p, s, n in splits],
+        spark.sparkContext.parallelize(
+            [(p, s, n) for p, s, n in splits], len(splits)
+        ),
         "path string, first_stripe int, n_stripes int",
-    ).repartition(len(splits))
+    )
     _ensure_workers_can_import(sdf)
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -160,3 +160,37 @@ def test_min_label_components_raises_beyond_max_rounds(spark):
     pairs = spark.createDataFrame(chain, "doc_a string, doc_b string")
     with pytest.raises(RuntimeError, match="no convergence"):
         min_label_components(pairs, max_rounds=2)
+
+
+def test_orc_scan_plan_has_no_exchange(spark, tmp_path):
+    """read_orc_distributed must not plan an Exchange over its split
+    list: splits are sliced via parallelize() exactly like encode_files
+    (r3 verdict #4 — the repartition() variant added a stage barrier +
+    AQE replan per scan)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from datafusion_orc_spark.format.orc_writer import write_orc
+    from datafusion_orc_spark.sources.orc_source import read_orc_distributed
+
+    t = pa.table({"a": pa.array(np.arange(5000, dtype=np.int64))})
+    p = str(tmp_path / "scan.orc")
+    write_orc(t, p, stripe_rows=1000)
+    df = read_orc_distributed(spark, p, split_bytes=1)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert df.agg(F.sum("a")).collect()[0][0] == 5000 * 4999 // 2
+
+
+def test_quantized_emb_cache_released(spark):
+    """release_quantized_emb drops the pinned executor storage (r3
+    verdict #6: the session-lifetime cache was a memory tax at scale)."""
+    from datafusion_orc_spark.plans import queries as Q
+
+    df = Q._quantized_emb(spark, SF_DIR)
+    df.count()
+    assert df.storageLevel.useMemory
+    assert Q._quantized_emb(spark, SF_DIR) is df  # registry reuse
+    Q.release_quantized_emb(spark)
+    assert not df.storageLevel.useMemory, df.storageLevel
+    assert (id(spark), SF_DIR) not in Q._QUANT_CACHE
