@@ -59,11 +59,15 @@ def rle_v1_decode(buf: bytes | np.ndarray, n: int, signed: bool = True) -> np.nd
                 base = zigzag_decode_scalar(u)
             else:
                 base = u - (1 << 64) if u >= (1 << 63) else u  # int64 wrap
-            out[filled : filled + run] = base + delta * np.arange(run, dtype=np.int64)
-            filled += run
+            # clamp: a bounded decode that enters mid-stream (ROW_INDEX
+            # positional seek) may stop inside the final run
+            take = min(run, n - filled)
+            out[filled : filled + take] = base + delta * np.arange(take, dtype=np.int64)
+            filled += take
         else:
             lit = 256 - c
+            take = min(lit, n - filled)
             u, pos = _varints_at(raw, terms, pos, lit)
-            out[filled : filled + lit] = zigzag_decode(u) if signed else u.view(np.int64)
-            filled += lit
+            out[filled : filled + take] = (zigzag_decode(u) if signed else u.view(np.int64))[:take]
+            filled += take
     return out

@@ -131,27 +131,29 @@ class _StripeReader:
     _POS_RAW, _POS_RLE, _POS_BOOL = 1, 2, 3
 
     def decode_column_range(
-        self, col: int, entry_positions: list[int], n_rows: int
+        self, col: int, group: int, n_rows: int, entries_for
     ) -> pa.Array | None:
-        """Decode ``n_rows`` rows of this column starting at a row-group
-        boundary, SEEKING every stream via the group's RowIndexEntry
-        positions (ORC-Java's reader machinery, mirrored): the stream is
-        entered at its recorded (chunk, offset) and the codec skips
-        (values-into-run / bit offset) are decoded-and-dropped. Returns
-        None for types/encodings outside the seek fast path (nested,
-        union, decimal, RLEv1 files) — the caller falls back to a full
-        stripe decode + slice, same result."""
+        """Decode ``n_rows`` rows of this column starting at row-group
+        ``group``'s boundary, SEEKING every stream via the group's
+        RowIndexEntry positions (ORC-Java's reader machinery, mirrored;
+        the reference delegates the same seek to orc-rust,
+        physical_exec.rs:83-88): each stream is entered at its recorded
+        (chunk, offset) and the codec skips (values-into-run / bit
+        offset) are decoded-and-dropped. ``entries_for(col)`` returns a
+        column's parsed row index — nested children (LIST/MAP/STRUCT/
+        UNION subtypes) recurse with their OWN index entries, which ORC
+        records at the same row-group boundaries; the parent's decoded
+        LENGTH/tag stream supplies how many child values the group owns.
+        Covers RLEv1 (ORC 0.11) and RLEv2 files, DECIMAL, TIMESTAMP and
+        all nested kinds. Returns None only when a needed index entry is
+        missing (caller falls back to full stripe decode + slice)."""
         t = self.orc.footer.types[col]
         enc = self.encodings[col].kind
-        if enc not in (proto.E_DIRECT_V2, proto.E_DICTIONARY_V2) and t.kind not in (
-            proto.BOOLEAN,
-            proto.BYTE,
-            proto.FLOAT,
-            proto.DOUBLE,
-        ):
-            return None  # RLEv1 (ORC 0.11) positions not wired
+        entries = entries_for(col)
+        if group >= len(entries):
+            return None
         comp_extra = 1 if self.orc.postscript.compression else 0
-        pos = list(entry_positions)
+        pos = list(entries[group]["positions"])
         i = 0
 
         def take(arity: int) -> list[int]:
@@ -171,11 +173,14 @@ class _StripeReader:
             valid = np.unpackbits(packed)[bit : bit + n_rows].astype(bool)
         n_vals = int(valid.sum())
         k = t.kind
+        # v1 (ORC 0.11 DIRECT/DICTIONARY) positions carry the same
+        # [byte offset, values-into-run] shape as v2
+        int_dec = rle_v1_decode if enc in (proto.E_DIRECT, proto.E_DICTIONARY) else rle_v2_decode
 
         def rle_at(kind: int, n: int, signed: bool) -> np.ndarray:
             buf, rest = self.stream_at(col, kind, take(self._POS_RLE))
             skip = rest[0]
-            return rle_v2_decode(np.frombuffer(buf, dtype=np.uint8), skip + n, signed=signed)[skip:]
+            return int_dec(np.frombuffer(buf, dtype=np.uint8), skip + n, signed=signed)[skip:]
 
         if k == proto.BOOLEAN:
             buf, rest = self.stream_at(col, proto.S_DATA, take(self._POS_BOOL))
@@ -207,11 +212,11 @@ class _StripeReader:
             return self._primitive(pa.float32() if k == proto.FLOAT else pa.float64(), vals, valid, n_rows)
         if k in (proto.STRING, proto.VARCHAR, proto.CHAR, proto.BINARY):
             typ = pa.binary() if k == proto.BINARY else pa.string()
-            if enc == proto.E_DICTIONARY_V2:
+            if enc in (proto.E_DICTIONARY, proto.E_DICTIONARY_V2):
                 idx = rle_at(proto.S_DATA, n_vals, signed=False)
                 blob = self.stream(col, proto.S_DICTIONARY_DATA)
                 dict_size = self.encodings[col].dictionary_size
-                dl_ = rle_v2_decode(self.stream(col, proto.S_LENGTH), dict_size, signed=False)
+                dl_ = int_dec(self.stream(col, proto.S_LENGTH), dict_size, signed=False)
                 offsets = np.zeros(dict_size + 1, dtype=np.int64)
                 np.cumsum(dl_, out=offsets[1:])
                 starts = offsets[idx]
@@ -241,7 +246,92 @@ class _StripeReader:
                 valid,
                 n_rows,
             )
-        return None  # nested / union / decimal: caller falls back
+        if k == proto.DECIMAL:
+            # DATA = unbounded varint mantissas (raw stream: 1 position),
+            # SECONDARY = per-value scales (RLE)
+            buf, _rest = self.stream_at(col, proto.S_DATA, take(self._POS_RAW))
+            if (t.precision or 38) > 18:
+                big, _ = varint_decode_big(buf, n_vals)
+                mantissa = [(m >> 1) ^ -(m & 1) for m in big]
+            else:
+                u, _ = varint_decode(buf, n_vals)
+                mantissa = zigzag_decode(u)
+            scales = rle_at(proto.S_SECONDARY, n_vals, signed=True)
+            typ = pa.decimal128(t.precision or 38, t.scale)
+            ctx = decimal.Context(prec=42)
+            py, j = [], 0
+            for r in range(n_rows):
+                if valid[r]:
+                    py.append(Decimal(int(mantissa[j])).scaleb(-int(scales[j]), context=ctx))
+                    j += 1
+                else:
+                    py.append(None)
+            return pa.array(py, type=typ)
+        if k in (proto.LIST, proto.MAP):
+            # the group's LENGTH values say how many child values it owns;
+            # each child column then seeks via its OWN RowIndexEntry
+            # (ORC records child positions at the same row-group
+            # boundaries, already offset past earlier groups' values)
+            lengths = rle_at(proto.S_LENGTH, n_vals, signed=False)
+            full = np.zeros(n_rows, dtype=np.int64)
+            full[valid] = lengths
+            offsets = np.zeros(n_rows + 1, dtype=np.int32)
+            offsets[1:] = np.cumsum(full)
+            n_items = int(full.sum())
+            if k == proto.LIST:
+                child = self.decode_column_range(t.subtypes[0], group, n_items, entries_for)
+                if child is None:
+                    return None
+                return pa.ListArray.from_buffers(
+                    pa.list_(child.type), n_rows,
+                    [_validity_buffer(valid), pa.py_buffer(offsets.tobytes())],
+                    children=[child],
+                )
+            keys = self.decode_column_range(t.subtypes[0], group, n_items, entries_for)
+            items = self.decode_column_range(t.subtypes[1], group, n_items, entries_for)
+            if keys is None or items is None:
+                return None
+            entry_fields = [pa.field("key", keys.type, nullable=False), pa.field("value", items.type)]
+            struct = pa.StructArray.from_arrays([keys, items], fields=entry_fields)
+            return pa.MapArray.from_buffers(
+                pa.map_(keys.type, items.type), n_rows,
+                [_validity_buffer(valid), pa.py_buffer(offsets.tobytes())],
+                children=[struct],
+            )
+        if k == proto.STRUCT:
+            children = [
+                self.decode_column_range(sc, group, n_vals, entries_for)
+                for sc in t.subtypes
+            ]
+            if any(c is None for c in children):
+                return None
+            names = t.field_names
+            if n_vals == n_rows:
+                return pa.StructArray.from_arrays(children, names)
+            mask = pa.array(~valid)
+            expanded = []
+            for ch in children:
+                idx = np.full(n_rows, -1, dtype=np.int64)
+                idx[valid] = np.arange(n_vals)
+                expanded.append(ch.take(pa.array(np.where(valid, idx, 0))))
+            return pa.StructArray.from_arrays(expanded, names, mask=mask)
+        if k == proto.UNION and n_vals == n_rows:
+            buf, rest = self.stream_at(col, proto.S_DATA, take(self._POS_RLE))
+            skip = rest[0]
+            tags = byte_rle_decode(np.frombuffer(buf, dtype=np.uint8), skip + n_vals)[skip:].astype(np.int8)
+            offsets = np.zeros(n_vals, dtype=np.int32)
+            children = []
+            for ci, sub in enumerate(t.subtypes):
+                m = tags == ci
+                offsets[m] = np.arange(int(m.sum()), dtype=np.int32)
+                child = self.decode_column_range(sub, group, int(m.sum()), entries_for)
+                if child is None:
+                    return None
+                children.append(child)
+            return pa.UnionArray.from_dense(
+                pa.array(tags, type=pa.int8()), pa.array(offsets, type=pa.int32()), children
+            )
+        return None  # union-with-nulls: caller falls back (and raises there)
 
     # ---- column decode (recursive over the type tree) ----
 
@@ -601,26 +691,28 @@ class OrcReader:
                 # path falls back to full decode + slice below.
                 from datafusion_orc_spark.format.orc_index import parse_row_index
 
-                col_entries = {}
-                for i in sel:
-                    cid = root.subtypes[i]
-                    col_entries[cid] = (
-                        parse_row_index(sr.stream(cid, proto.S_ROW_INDEX))
-                        if sr.has_stream(cid, proto.S_ROW_INDEX)
-                        else []
-                    )
+                col_entries: dict[int, list] = {}
+
+                def entries_for(cid: int) -> list:
+                    # lazy per-column index parse: nested children resolve
+                    # their own ROW_INDEX on first touch
+                    if cid not in col_entries:
+                        col_entries[cid] = (
+                            parse_row_index(sr.stream(cid, proto.S_ROW_INDEX))
+                            if sr.has_stream(cid, proto.S_ROW_INDEX)
+                            else []
+                        )
+                    return col_entries[cid]
+
                 range_batches = []
                 ok = True
                 for s, e in row_ranges:
                     g0 = s // stride
                     arrays = []
                     for i in sel:
-                        entries = col_entries[root.subtypes[i]]
-                        arr = None
-                        if g0 < len(entries):
-                            arr = sr.decode_column_range(
-                                root.subtypes[i], entries[g0]["positions"], e - s
-                            )
+                        arr = sr.decode_column_range(
+                            root.subtypes[i], g0, e - s, entries_for
+                        )
                         if arr is None:
                             ok = False
                             break

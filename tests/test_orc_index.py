@@ -254,3 +254,148 @@ def test_positional_seek_on_our_writers_files(tmp_path):
         assert got.column(name).combine_chunks().equals(
             full.slice(lo, 10000).column(name).combine_chunks()
         ), name
+
+
+def _seek_with_no_fallback(path, prune):
+    """read(prune=) with decode_column monkeypatched to prove the
+    positional-seek path never falls back to whole-stripe decode."""
+    import pytest as _pytest
+
+    from datafusion_orc_spark.format import orc_reader as orr
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(
+            orr._StripeReader,
+            "decode_column",
+            lambda *a, **k: (_ for _ in ()).throw(AssertionError("full decode on seek path")),
+        )
+        return OrcReader(path).read(prune=prune)
+    finally:
+        mp.undo()
+
+
+def test_positional_seek_nested_and_decimal_columns(spark, tmp_path):
+    """r3 verdict #1: LIST/MAP/STRUCT/DECIMAL columns must SEEK through
+    the ROW_INDEX positions (parent LENGTH decoded for the group, each
+    child entering its own stream at the group's recorded offsets)
+    instead of whole-stripe decode + slice. ORC-Java-written file
+    (snappy, 4 row groups), monkeypatch proves decode_column never
+    runs."""
+    import glob
+
+    p = str(tmp_path / "java_nested_seek")
+    spark.range(35000).selectExpr(
+        "id as k",
+        "array(id, id * 2, id % 7) as arr",
+        "map(concat('m', id % 5), id) as mp",
+        "named_struct('a', id * 3, 'b', concat('s', id % 11)) as st",
+        "cast(cast(id as string) || '.25' as decimal(12, 2)) as dec_small",
+        "cast(cast(id as string) || '1234567890123456789012.5678' as decimal(38, 4)) as dec_wide",
+        "if(id % 6 = 0, null, array(id, id + 1)) as narr",
+        "if(id % 4 = 0, null, named_struct('x', id, 'y', cast(id as double))) as nst",
+    ).coalesce(1).write.orc(p)
+    f = glob.glob(f"{p}/*.orc")[0]
+    full = OrcReader(f).read()
+    got = _seek_with_no_fallback(f, {"k": (23000, 23500)})
+    assert got.num_rows == 10000  # exactly one row group decoded
+    lo = full.column("k").to_pylist().index(got.column("k")[0].as_py())
+    expect = full.slice(lo, got.num_rows)
+    for name in full.schema.names:
+        assert got.column(name).combine_chunks().equals(
+            expect.column(name).combine_chunks()
+        ), name
+
+
+def test_positional_seek_rlev1_file(spark, tmp_path):
+    """ORC 0.11 (RLEv1 DIRECT/DICTIONARY) files seek through the same
+    positions (RLEv1 entries carry the same [byte, values-into-run]
+    shape) — previously any v1-encoded column fell back to full
+    decode."""
+    import glob
+
+    p = str(tmp_path / "java_v1_seek")
+    spark.range(35000).selectExpr(
+        "id as k",
+        "concat('d', cast(id % 40 as string)) as s_dict",
+        "concat('u', cast(id as string)) as s_uniq",
+        "if(id % 7 = 0, null, id * 3) as nullable",
+        "cast(id as double) / 3 as d",
+    ).coalesce(1).write.option("orc.write.format", "0.11").orc(p)
+    f = glob.glob(f"{p}/*.orc")[0]
+    r = OrcReader(f)
+    assert list(r.postscript.version) == [0, 11], r.postscript.version
+    full = r.read()
+    got = _seek_with_no_fallback(f, {"k": (23000, 23500)})
+    assert got.num_rows == 10000
+    lo = full.column("k").to_pylist().index(got.column("k")[0].as_py())
+    expect = full.slice(lo, got.num_rows)
+    for name in full.schema.names:
+        assert got.column(name).combine_chunks().equals(
+            expect.column(name).combine_chunks()
+        ), name
+
+
+def test_positional_seek_nested_on_our_writers_files(tmp_path):
+    """Our own writer's nested/decimal files ride the same seek path."""
+    from decimal import Decimal
+
+    n = 40000
+    rng = np.random.default_rng(9)
+    lens = rng.integers(0, 5, n)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    items = rng.integers(0, 50257, int(off[-1])).astype(np.int32)
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(off, type=pa.int64()).cast(pa.int32()), pa.array(items)
+        ),
+        "dec": pa.array(
+            [Decimal(int(v)).scaleb(-2) for v in rng.integers(-10**6, 10**6, n)],
+            type=pa.decimal128(12, 2),
+        ),
+        "st": pa.StructArray.from_arrays(
+            [pa.array(np.arange(n, dtype=np.int64) * 7), pa.array([f"s{i % 13}" for i in range(n)])],
+            names=["a", "b"],
+        ),
+    })
+    p = str(tmp_path / "ours_nested_seek.orc")
+    write_orc(t, p, stripe_rows=40000, compression="snappy")
+    full = OrcReader(p).read()
+    got = _seek_with_no_fallback(p, {"k": (31000, 31500)})
+    assert got.num_rows == 10000
+    lo = got.column("k")[0].as_py()
+    for name in t.schema.names:
+        assert got.column(name).combine_chunks().equals(
+            full.slice(lo, 10000).column(name).combine_chunks()
+        ), name
+
+
+def test_decode_column_range_on_reference_corpus_nested():
+    """Conformance on the reference's own nested corpus file
+    (reference tests/basic/data/map_list.snappy.orc: map at col 2,
+    list at col 5): group-0 positional decode of every root column must
+    equal the full decode."""
+    f = "/root/reference/tests/basic/data/map_list.snappy.orc"
+    r = OrcReader(f)
+    full = r.read()
+    sr = _StripeReader(r, r.footer.stripes[0])
+    root = r.footer.types[0]
+
+    cache: dict[int, list] = {}
+
+    def entries_for(cid):
+        if cid not in cache:
+            cache[cid] = (
+                parse_row_index(sr.stream(cid, proto.S_ROW_INDEX))
+                if sr.has_stream(cid, proto.S_ROW_INDEX)
+                else []
+            )
+        return cache[cid]
+
+    n = r.footer.stripes[0].number_of_rows
+    for i, name in enumerate(root.field_names):
+        arr = sr.decode_column_range(root.subtypes[i], 0, n, entries_for)
+        assert arr is not None, name
+        assert arr.equals(full.column(name).combine_chunks()), name
