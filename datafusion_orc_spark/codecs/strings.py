@@ -299,6 +299,7 @@ def _merge_rounds(
     string_id: np.ndarray,
     rounds: int = 3,
     min_count: int = 8,
+    sample_elems: int | None = 1 << 18,
 ) -> tuple[np.ndarray, FsstTable]:
     """FSST generational construction: per round, concatenate the most
     profitable adjacent element pairs into new symbols (<=8 bytes) and
@@ -306,7 +307,14 @@ def _merge_rounds(
 
     ``string_id``: per element, the source string it belongs to — a
     merged symbol never spans two values (random access per value).
-    """
+
+    ``sample_elems``: pair SELECTION (the per-round 512x512 bincount +
+    gain ranking) runs over ~this many elements taken as 16 evenly
+    spaced contiguous windows, with counts scaled back to stream size —
+    at 100 TB every stripe trains, and counting the full stream per
+    generation was ~30% of train cost. The REWRITE still covers the
+    full stream (its output IS the encoding). None = select on the full
+    stream (the measurement baseline)."""
     symbols = list(table.symbols)
 
     def expansion(eid: int) -> bytes:
@@ -325,17 +333,33 @@ def _merge_rounds(
         a, b = elem_id[:-1], elem_id[1:]
         valid = (string_id[:-1] == string_id[1:]) & (elem_len[:-1] + elem_len[1:] <= MAX_SYMBOL_LEN)
         key = a * 512 + b
-        counts = np.bincount(key[valid], minlength=512 * 512)
+        n_pairs = len(key)
+        if sample_elems is not None and n_pairs > sample_elems:
+            k_win = 16
+            w = sample_elems // k_win
+            starts = np.linspace(0, n_pairs - w, k_win).astype(np.int64)
+            sel_idx = (starts[:, None] + np.arange(w)).ravel()
+            counts = np.bincount(key[sel_idx][valid[sel_idx]], minlength=512 * 512)
+            scale = n_pairs / len(sel_idx)
+        else:
+            counts = np.bincount(key[valid], minlength=512 * 512)
+            scale = 1.0
         # profitability must beat the table overhead (1 len byte + bytes)
-        cand_keys = np.flatnonzero(counts >= min_count)
+        cand_keys = np.flatnonzero(counts >= max(1, int(min_count / scale)))
         if not len(cand_keys):
             break
+        if len(cand_keys) > 512:
+            # only 64 merges are taken per round: rank the top-512 by
+            # count, keep the Python gain loop bounded (a sampled
+            # threshold of 1 otherwise admits every pair seen once)
+            top = np.argsort(counts[cand_keys])[::-1][:512]
+            cand_keys = cand_keys[np.sort(top)]
         gains = []
         for k in cand_keys.tolist():
             ka, kb = k >> 9, k & 511
             sym = expansion(ka) + expansion(kb)
             per = (1 if ka < 256 else 2) + (1 if kb < 256 else 2) - 1
-            g = int(counts[k]) * per - (1 + len(sym))
+            g = int(counts[k] * scale) * per - (1 + len(sym))
             if g > 0:
                 gains.append((g, k, sym))
         if not gains:

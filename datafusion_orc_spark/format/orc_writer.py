@@ -567,8 +567,14 @@ def write_orc(
     compression: str = "none",
     block_size: int = 262144,
     row_index_stride: int | None = None,
+    string_kinds: dict[str, tuple[str, int]] | None = None,
 ) -> None:
     """Write an Arrow table as an ORC v1 file.
+
+    ``string_kinds``: {column: ("char"|"varchar", max_len)} footer-type
+    overrides for string columns — preserves CHAR/VARCHAR declarations
+    (with maximumLength) across a read-modify-write of a foreign file
+    instead of silently widening to STRING (see _reorder_root_first).
 
     ``compression``: none|snappy|zlib|lz4|zstd — applied per-stream (and
     to stripe/file footers) in <=block_size chunks, matching the corpus
@@ -586,10 +592,20 @@ def write_orc(
     """
     comp = _COMPRESSION_KINDS[compression.lower()]
     table = table.combine_chunks()
+    for cname, (_kind, max_len) in (string_kinds or {}).items():
+        col = table.column(cname)
+        if col.type != pa.string():
+            raise TypeError(f"string_kinds[{cname!r}]: column is {col.type}, not string")
+        longest = pc.max(pc.utf8_length(col.drop_null())).as_py() or 0
+        if longest > max_len:
+            raise ValueError(
+                f"string_kinds[{cname!r}]: value length {longest} exceeds "
+                f"declared maximumLength {max_len}"
+            )
     if row_index_stride is None:
         row_index_stride = 10000  # ORC default; multiple row groups/stripe
     # pre-order ORC type ids, root struct = 0
-    types, _arrow_types = _reorder_root_first(table.schema)
+    types, _arrow_types = _reorder_root_first(table.schema, string_kinds)
 
     out = bytearray(MAGIC)
     stripe_infos: list[bytes] = []
@@ -765,8 +781,17 @@ def _type_width(typ: pa.DataType) -> int:
     return 1
 
 
-def _reorder_root_first(schema: pa.Schema) -> tuple[list[bytes], list]:
-    """Serialize the type tree with proper pre-order ORC ids (root=0)."""
+def _reorder_root_first(
+    schema: pa.Schema, string_kinds: dict[str, tuple[str, int]] | None = None
+) -> tuple[list[bytes], list]:
+    """Serialize the type tree with proper pre-order ORC ids (root=0).
+
+    ``string_kinds``: {top-level column name: ("char"|"varchar",
+    max_len)} — Arrow has no char/varchar types, so a foreign CHAR file
+    read through Arrow and rewritten would silently widen to STRING;
+    this propagates the declared kind + maximumLength (ORC Type field 4)
+    into the footer while the streams stay the STRING layout (identical
+    per the spec)."""
     sub_ids = []
     next_id = 1
     for f in schema:
@@ -777,9 +802,21 @@ def _reorder_root_first(schema: pa.Schema) -> tuple[list[bytes], list]:
         root += _field_bytes(3, f.name.encode())
     ordered: list[bytes] = [root]
     arrow_ordered: list = [None]
+    _CHAR_KINDS = {"char": proto.CHAR, "varchar": proto.VARCHAR}
+    overrides = {
+        sid: string_kinds[f.name]
+        for f, sid in zip(schema, sub_ids)
+        if string_kinds and f.name in string_kinds and f.type == pa.string()
+    }
 
     def add2(typ: pa.DataType, my_id: int) -> None:
-        if typ in _PRIM_KINDS:
+        if my_id in overrides:
+            kind, max_len = overrides[my_id]
+            ordered.append(
+                _field_varint(1, _CHAR_KINDS[kind.lower()]) + _field_varint(4, int(max_len))
+            )
+            arrow_ordered.append(typ)
+        elif typ in _PRIM_KINDS:
             ordered.append(_field_varint(1, _PRIM_KINDS[typ]))
             arrow_ordered.append(typ)
         elif pa.types.is_timestamp(typ):
