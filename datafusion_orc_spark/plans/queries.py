@@ -1647,6 +1647,166 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+_PACK_CTX = 64  # context length of a packed training window
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: slice each document's token stream into fixed
+    _PACK_CTX-token training windows (per-doc, boundary-safe — a window
+    never spans documents), emitting integer per-window stats.
+
+    Per-doc slicing is embarrassingly parallel (scan -> transform ->
+    posexplode, no shuffle until the tiny final sort), which is the
+    shape that survives 100 TB. Cross-doc bin-packing of short tails
+    would need a global order; pretraining pipelines standardly accept
+    per-doc windows + tail truncation/padding instead, so that
+    trade-off is taken here deliberately."""
+    toks = dl.tokens(SPARK)
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 37 = 0")
+    return (
+        docs.select("doc_id", F.expr(toks).alias("toks"))
+        .filter(F.expr("size(toks) > 0"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(toks) / {_PACK_CTX}.0) as int) - 1), "
+                    f"i -> slice(toks, i * {_PACK_CTX} + 1, {_PACK_CTX}))"
+                )
+            ).alias("win_id", "win"),
+        )
+        .select(
+            "doc_id",
+            F.col("win_id").cast("long").alias("win_id"),
+            F.expr("cast(size(win) as bigint)").alias("win_tokens"),
+            F.expr("cast(aggregate(win, 0L, (a, x) -> a + x) as bigint)").alias("tok_sum"),
+            F.expr("cast(array_min(win) as bigint)").alias("tok_min"),
+            F.expr("cast(array_max(win) as bigint)").alias("tok_max"),
+        )
+        .orderBy("doc_id", "win_id")
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, {dl.tokens(DUCK)} AS toks FROM documents WHERE doc_id % 37 = 0
+), w AS (
+  SELECT doc_id, i AS win_id,
+         list_slice(toks, i * {_PACK_CTX} + 1, i * {_PACK_CTX} + {_PACK_CTX}) AS win
+  FROM t, UNNEST(range(CAST(ceil(len(toks) / {_PACK_CTX}.0) AS BIGINT))) AS u(i)
+  WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+       CAST(len(win) AS BIGINT) AS win_tokens,
+       CAST(list_sum(win) AS BIGINT) AS tok_sum,
+       CAST(list_min(win) AS BIGINT) AS tok_min,
+       CAST(list_max(win) AS BIGINT) AS tok_max
+FROM w ORDER BY doc_id, win_id
+"""
+
+
+def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics: top-20 adjacent token pairs (vocabulary
+    co-occurrence — tokenizer/merge-rule audits). One shuffle on the
+    bigram key with map-side partial aggregation; key space is bounded
+    by observed pairs, counts concentrate on frequent pairs, ties broken
+    by key for cross-engine determinism."""
+    toks = dl.tokens(SPARK)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.expr(toks).alias("toks"))
+        .filter(F.expr("size(toks) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1), "
+                    "slice(toks, 2, size(toks) - 1), "
+                    f"(a, b) -> cast(a as bigint) * {dl.VOCAB} + b)"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(20)
+    )
+
+
+SQL_TOKEN_BIGRAMS = f"""
+WITH t AS (SELECT {dl.tokens(DUCK)} AS toks FROM documents),
+b AS (
+  SELECT UNNEST(list_transform(range(len(toks) - 1),
+    i -> CAST(toks[i + 1] AS BIGINT) * {dl.VOCAB} + toks[i + 2])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT 20
+"""
+
+
+def _gram5(d: int, lst: str) -> str:
+    """Word-token 5-gram polynomial fingerprint, identical arithmetic in
+    both dialects (1-based element access; max intermediate ~1.5e13,
+    exact in int64)."""
+    if d == SPARK:
+        at = [f"element_at({lst}, i + {j})" for j in range(5)]
+        idx = f"sequence(1, size({lst}) - 4)"
+        tf = "transform"
+    else:
+        at = [f"{lst}[i + {j}]" for j in range(5)]
+        idx = f"range(1, len({lst}) - 3)"
+        tf = "list_transform"
+    poly = f"CAST({at[0]} AS BIGINT)"
+    for a in at[1:]:
+        poly = f"({poly} * 131 + {a})"
+    return f"{tf}({idx}, i -> {poly} % {dl.FP_PRIME})"
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: distinct word-token 5-gram overlap
+    between a small 'benchmark' slice (doc_id % 211 = 0) and the rest
+    of the corpus. The benchmark side is tiny and broadcast; the corpus
+    side is scan + explode + equi-join on the gram key — no pairwise
+    document comparison, so it survives 100 TB."""
+    toks = dl.tokens(SPARK)
+    docs = _t(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.expr(toks).alias("toks"))
+        .filter(F.expr("size(toks) >= 5"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"array_distinct({_gram5(SPARK, 'toks')})")).alias("gram"),
+        )
+    )
+    bench = grams.filter("doc_id % 211 = 0").withColumnRenamed("doc_id", "bench_doc")
+    corpus = grams.filter("doc_id % 211 <> 0")
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("bench_doc")
+        .agg(
+            F.countDistinct("doc_id").alias("contaminated_docs"),
+            F.count(F.lit(1)).alias("shared_grams"),
+        )
+        .orderBy("bench_doc")
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH t AS (
+  SELECT doc_id, {dl.tokens(DUCK)} AS toks FROM documents
+), g AS (
+  SELECT doc_id, UNNEST(list_distinct({_gram5(DUCK, 'toks')})) AS gram
+  FROM t WHERE len(toks) >= 5
+)
+SELECT b.doc_id AS bench_doc,
+       CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS contaminated_docs,
+       CAST(COUNT(*) AS BIGINT) AS shared_grams
+FROM (SELECT * FROM g WHERE doc_id % 211 = 0) b
+JOIN (SELECT * FROM g WHERE doc_id % 211 <> 0) c USING (gram)
+GROUP BY bench_doc ORDER BY bench_doc
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # relational parity
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -1680,6 +1840,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "top_words": (q_top_words, SQL_TOP_WORDS),
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "scrub_counts": (q_scrub_counts, SQL_SCRUB_COUNTS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "token_bigrams": (q_token_bigrams, SQL_TOKEN_BIGRAMS),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
     # dedup
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),

@@ -194,3 +194,30 @@ def test_quantized_emb_cache_released(spark):
     Q.release_quantized_emb(spark)
     assert not df.storageLevel.useMemory, df.storageLevel
     assert (id(spark), SF_DIR) not in Q._QUANT_CACHE
+
+
+def test_pack_sequences_no_shuffle_before_sort(spark):
+    """Sequence packing is scan -> transform -> posexplode; the only
+    Exchange allowed is the final (tiny) sort of emitted stats."""
+    from datafusion_orc_spark.plans.queries import q_pack_sequences
+
+    plan = _plan(q_pack_sequences(spark, SF_DIR))
+    assert "Generate" in plan  # posexplode stayed JVM-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only Exchange is the final sort's rangepartitioning — no hash
+    # shuffle (no groupBy/join) anywhere in the packing itself
+    import re
+
+    assert "hashpartitioning" not in plan, plan
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_ex == 1 and "rangepartitioning" in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark slice must broadcast; the corpus side must not
+    shuffle into a SortMergeJoin on the gram key."""
+    from datafusion_orc_spark.plans.queries import q_contamination
+
+    plan = _plan(q_contamination(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
