@@ -764,8 +764,11 @@ def write_orc(
     )
     out += ps
     out.append(len(ps))
-    with open(path, "wb") as f:
-        f.write(bytes(out))
+    if hasattr(path, "write"):  # file-like (object-store sink seam)
+        path.write(bytes(out))
+    else:
+        with open(path, "wb") as f:
+            f.write(bytes(out))
 
 
 def _type_width(typ: pa.DataType) -> int:

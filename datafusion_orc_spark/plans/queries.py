@@ -1647,6 +1647,51 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed write parity: lineitem -> write_orc_distributed (OUR
+    ORC writer, one file per task, stats-only driver traffic) -> the
+    engine's distributed reader -> aggregate. Oracle = the same
+    aggregate on the raw parquet, so the whole write+read path must be
+    value-exact."""
+    import hashlib
+    import os
+    import tempfile
+
+    from datafusion_orc_spark import FORMAT_VERSION
+    from datafusion_orc_spark.sources.orc_sink import write_orc_distributed
+    from datafusion_orc_spark.sources.orc_source import read_orc_distributed
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    tag = hashlib.md5(f"{sf_dir}:v{FORMAT_VERSION}:sink".encode()).hexdigest()[:8]
+    out = f"{tempfile.gettempdir()}/dos_orc_sink_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        stats = write_orc_distributed(
+            li.repartition(4), out, stripe_rows=16384, compression="snappy"
+        ).collect()
+        assert sum(r["n_rows"] for r in stats) > 0
+        open(os.path.join(out, "_DONE"), "w").close()
+    df = read_orc_distributed(spark, out)
+    df.createOrReplaceTempView("lineitem_sink")
+    return spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey, "
+        "SUM(l_quantity) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price "
+        "FROM lineitem_sink GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+
+
+SQL_ORC_SINK_ROUNDTRIP = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+       SUM(l_quantity) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 _PACK_CTX = 64  # context length of a packed training window
 
 
@@ -1830,6 +1875,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "roundtrip_datasource_agg": (q_roundtrip_datasource_agg, SQL_ROUNDTRIP_DATASOURCE_AGG),
     "orc_scan_agg": (q_orc_scan_agg, SQL_ORC_SCAN_AGG),
     "orc_pruned_scan": (q_orc_pruned_scan, SQL_ORC_PRUNED_SCAN),
+    "orc_sink_roundtrip": (q_orc_sink_roundtrip, SQL_ORC_SINK_ROUNDTRIP),
     "codec_stats": (q_codec_stats, SQL_CODEC_STATS),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -167,6 +167,15 @@ def read_orc_distributed(
     splits, merged = plan_splits(paths, split_bytes, opener)
     if columns is not None:
         merged = pa.schema([merged.field(c) for c in columns])
+    # Spark's Arrow bridge rejects nanosecond timestamps: surface ORC
+    # TIMESTAMP as microseconds (Spark's native precision); the decode
+    # stays ns-exact until this boundary cast
+    merged = pa.schema([
+        f.with_type(pa.timestamp("us", tz=f.type.tz))
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        else f
+        for f in merged
+    ])
     spark_schema = from_arrow_schema(merged)
     out_names = list(merged.names)
 
@@ -204,10 +213,14 @@ def read_orc_distributed(
                     # pad fields this file lacks with nulls, order to merged
                     arrays = []
                     for name in out_names:
+                        want = merged.field(name).type
                         if name in have:
-                            arrays.append(rb.column(rb.schema.get_field_index(name)))
+                            a = rb.column(rb.schema.get_field_index(name))
+                            if a.type != want:  # ns -> us boundary cast
+                                a = a.cast(want)
+                            arrays.append(a)
                         else:
-                            arrays.append(pa.nulls(rb.num_rows, merged.field(name).type))
+                            arrays.append(pa.nulls(rb.num_rows, want))
                     yield pa.RecordBatch.from_arrays(arrays, schema=merged)
 
     out = sdf.mapInArrow(scan, spark_schema)
