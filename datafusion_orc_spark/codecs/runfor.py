@@ -129,10 +129,23 @@ def runfor_encode(
             ok = np.minimum.reduceat(eq, offs) if len(offs) else np.empty(0, bool)
             r_pos, r_len = r_pos[ok], r_len[ok]
 
-    if len(r_pos):
-        lit = v[~_coverage_mask(n, r_pos, r_len)]
-    else:
+    if len(r_pos) == 0:
         lit = v
+    elif len(r_pos) <= 4096:
+        # few long runs (the token-stream shape): literals are the gap
+        # slices between runs — one np.concatenate memcpy instead of a
+        # coverage mask + invert + boolean fancy-select (3 full passes)
+        segs = []
+        pos = 0
+        for p, ln in zip(r_pos.tolist(), r_len.tolist()):
+            if p > pos:
+                segs.append(v[pos:p])
+            pos = p + ln
+        if pos < n:
+            segs.append(v[pos:])
+        lit = np.concatenate(segs) if segs else v[:0]
+    else:
+        lit = v[~_coverage_mask(n, r_pos, r_len)]
     n_lit = len(lit)
 
     streams: dict[int, bytes] = {}
