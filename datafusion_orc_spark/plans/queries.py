@@ -1503,6 +1503,63 @@ ORDER BY qs.query_id
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (the storage format ANN
+    indexes ship at scale: 4x smaller than float32, dot products in
+    int32). code = round(q * 127 / qmax) computed in PURE integer
+    arithmetic — shift to non-negative then truncate-divide, so Spark's
+    `div` and DuckDB's `//` agree bit-exactly (float round() ties
+    differ between engines). Scan + per-row transforms, no shuffle
+    until the final sort; emits exact integer per-vector stats."""
+    emb = _t(spark, sf_dir, "embeddings").filter("vec_id % 17 = 0")
+    return (
+        emb.withColumn("q", F.expr(_QUANT_SPARK.format(col="embedding")))
+        .withColumn("qmax", F.expr("greatest(array_max(transform(q, x -> abs(x))), 1L)"))
+        .withColumn(
+            "code",
+            F.expr("transform(q, x -> ((x + qmax) * 254 + qmax) div (2 * qmax) - 127)"),
+        )
+        .select(
+            "vec_id",
+            F.expr("cast(size(code) as bigint)").alias("dim"),
+            F.col("qmax"),
+            F.expr("cast(aggregate(code, 0L, (a, x) -> a + x) as bigint)").alias("code_sum"),
+            F.expr("cast(array_min(code) as bigint)").alias("code_min"),
+            F.expr("cast(array_max(code) as bigint)").alias("code_max"),
+            # reconstruction error bound, exact integers: 127*|q| - |code|*qmax
+            # per element is the scaled residual numerator; report its max
+            F.expr(
+                "cast(array_max(zip_with(q, code, (a, b) -> abs(a * 127 - b * qmax))) as bigint)"
+            ).alias("max_err_num"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id % 17 = 0
+), s AS (
+  SELECT vec_id, q,
+         GREATEST(list_max(list_transform(q, x -> abs(x))), 1) AS qmax
+  FROM t
+), c AS (
+  SELECT vec_id, q, qmax,
+         list_transform(q, x -> ((x + qmax) * 254 + qmax) // (2 * qmax) - 127) AS code
+  FROM s
+)
+SELECT vec_id, CAST(len(code) AS BIGINT) AS dim, CAST(qmax AS BIGINT) AS qmax,
+       CAST(list_sum(code) AS BIGINT) AS code_sum,
+       CAST(list_min(code) AS BIGINT) AS code_min,
+       CAST(list_max(code) AS BIGINT) AS code_max,
+       CAST(list_max(list_transform(range(len(q)),
+            i -> abs(q[i + 1] * 127 - code[i + 1] * qmax))) AS BIGINT) AS max_err_num
+FROM c ORDER BY vec_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1901,4 +1958,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
 }
