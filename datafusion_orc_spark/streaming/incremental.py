@@ -63,6 +63,51 @@ def start_incremental_encode(
     return writer.start()
 
 
+def start_incremental_decode(
+    spark,
+    blob_path: str,
+    spark_schema,
+    output_dir: str,
+    checkpoint_dir: str,
+    where: str | None = None,
+    trigger_seconds: int | None = None,
+):
+    """The inverse stream: watch a directory of blob parquet files
+    (e.g. start_incremental_encode's output) and decode each
+    micro-batch back to rows, appended as parquet.
+
+    Micro-batches are file-granular, but Spark may coalesce or split
+    files across scan partitions, so the decode uses the shuffle=True
+    stripe regroup — a micro-batch is small, the Exchange is tiny, and
+    correctness never depends on file-to-partition alignment. ``where``
+    pushes stripe pruning + the exact residual filter into each batch
+    (late-arriving stripes outside the predicate cost no decode CPU).
+    Exactly-once: Spark's checkpointed batch ids + append-only output
+    named by batch id."""
+    from datafusion_orc_spark.operators.encode import BLOB_SCHEMA, decode_table
+
+    os.makedirs(output_dir, exist_ok=True)
+    stream = (
+        spark.readStream.schema(BLOB_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(blob_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = decode_table(batch_df, None, spark_schema, shuffle=True, where=where)
+        rows.write.mode("overwrite").parquet(os.path.join(output_dir, f"batch={batch_id}"))
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     window_seconds: int = 60,

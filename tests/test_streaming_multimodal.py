@@ -204,3 +204,43 @@ def test_sessionize_events_stateful(spark, tmp_path):
     # the 1000s event exceeded the 300s gap -> user 1's first session
     # (0..200s, 3 events) is emitted inline
     assert got.get((1, 0)) == 3, got
+
+
+def test_incremental_decode_stream(spark, tmp_path):
+    """The inverse stream: blob files decoded per micro-batch back to
+    rows; the full encode->stream-decode round trip preserves every
+    row, and a where= predicate yields exactly the matching rows."""
+    from datafusion_orc_spark.sources.tokens import tokenized_sequences
+    from datafusion_orc_spark.streaming.incremental import (
+        start_incremental_decode,
+        start_incremental_encode,
+    )
+
+    src = str(tmp_path / "src")
+    seqs = tokenized_sequences(spark, SF_DIR)
+    seqs.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(seqs.schema).parquet(src)
+    enc_out, enc_ckpt = str(tmp_path / "enc"), str(tmp_path / "ckpt_e")
+    start_incremental_encode(stream, enc_out, enc_ckpt, stripe_rows=128).awaitTermination(120)
+
+    dec_out, dec_ckpt = str(tmp_path / "dec"), str(tmp_path / "ckpt_d")
+    q = start_incremental_decode(spark, enc_out, seqs.schema, dec_out, dec_ckpt)
+    q.awaitTermination(120)
+    decoded = spark.read.parquet(*glob.glob(f"{dec_out}/batch=*"))
+    assert decoded.count() == seqs.count()
+    from pyspark.sql import functions as F
+
+    assert (
+        decoded.agg(F.sum("n_tok")).collect()[0][0]
+        == seqs.agg(F.sum("n_tok")).collect()[0][0]
+    )
+
+    # filtered variant: stripe pruning + exact residual per batch
+    dec2, ck2 = str(tmp_path / "dec2"), str(tmp_path / "ckpt_d2")
+    q2 = start_incremental_decode(
+        spark, enc_out, seqs.schema, dec2, ck2, where="n_tok >= 50"
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(*glob.glob(f"{dec2}/batch=*"))
+    assert got.count() == seqs.filter("n_tok >= 50").count()
+    assert got.filter("n_tok < 50").count() == 0
