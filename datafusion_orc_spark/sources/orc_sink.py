@@ -36,6 +36,7 @@ def write_orc_distributed(
     stripe_rows: int = 65536,
     compression: str = "snappy",
     rows_per_file: int = 1 << 20,
+    bytes_per_file: int = 256 * 1024 * 1024,
     row_index_stride: int | None = None,
 ) -> DataFrame:
     """df -> ``output_dir``/part-*.orc via OUR ORC writer, in parallel.
@@ -67,13 +68,14 @@ def write_orc_distributed(
         k = 0
         pending: list[pa.RecordBatch] = []
         n_pending = 0
+        b_pending = 0  # Arrow buffer bytes — rows alone under-bound wide rows
 
         def flush() -> Iterator[pa.RecordBatch]:
-            nonlocal k, pending, n_pending
+            nonlocal k, pending, n_pending, b_pending
             if not pending:
                 return
             tbl = pa.Table.from_batches(pending)
-            pending, n_pending = [], 0
+            pending, n_pending, b_pending = [], 0, 0
             name = f"part-{part_id:05d}-{k:03d}.orc"
             k += 1
             import io
@@ -100,18 +102,23 @@ def write_orc_distributed(
             })
 
         for b in batches:
-            # slice at the roll boundary: one incoming Arrow batch may be
-            # larger than rows_per_file (spark.sql.execution.arrow.
-            # maxRecordsPerBatch is independent of the sink's roll size)
-            while n_pending + b.num_rows >= rows_per_file:
-                take = rows_per_file - n_pending
+            # slice at the roll boundaries: one incoming Arrow batch may
+            # exceed rows_per_file OR bytes_per_file on its own (Spark's
+            # maxRecordsPerBatch is independent of the sink's roll size,
+            # and wide rows hit the byte bound long before the row bound)
+            row_bytes = max(1, b.get_total_buffer_size() // max(1, b.num_rows))
+            while b.num_rows:
+                take = min(
+                    b.num_rows,
+                    rows_per_file - n_pending,
+                    max(1, (bytes_per_file - b_pending) // row_bytes),
+                )
                 pending.append(b.slice(0, take))
                 n_pending += take
+                b_pending += take * row_bytes
                 b = b.slice(take)
-                yield from flush()
-            if b.num_rows:
-                pending.append(b)
-                n_pending += b.num_rows
+                if n_pending >= rows_per_file or b_pending >= bytes_per_file:
+                    yield from flush()
         yield from flush()
 
     return df.mapInArrow(sink, STATS_SCHEMA)

@@ -91,3 +91,19 @@ def test_write_orc_through_store_file_object():
     r = OrcReader(p, opener=lambda path: st.open_input(path))
     assert r.read().equals(t)
     assert len(r.footer.stripes) == 4
+
+
+def test_sink_rolls_files_at_bytes_per_file(spark, tmp_path):
+    """Wide rows must roll on BYTES, not only rows — rows_per_file alone
+    would buffer gigabytes of wide rows before the first flush."""
+    out = str(tmp_path / "byte_rolled")
+    df = spark.range(4_000).selectExpr("id as k", "repeat('x', 4000) as pad").coalesce(1)
+    stats = write_orc_distributed(
+        df, out, stripe_rows=1000, rows_per_file=1_000_000, bytes_per_file=4_000_000
+    ).collect()
+    assert len(stats) >= 3, stats  # ~16 MB of pad / 4 MB roll
+    assert sum(r["n_rows"] for r in stats) == 4_000
+    got = pa.concat_tables(
+        [pyarrow.orc.ORCFile(f).read() for f in sorted(glob.glob(f"{out}/*.orc"))]
+    )
+    assert sorted(got.column("k").to_pylist()) == list(range(4_000))
