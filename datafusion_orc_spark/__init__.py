@@ -25,6 +25,34 @@ This package re-expresses that capability Spark-first:
 
 __version__ = "0.2.0"
 
+# Public API, lazily resolved (PEP 562): workers import this package for
+# the codec kernels, so the top level must not pull pyspark eagerly.
+_API = {
+    "OrcReader": "datafusion_orc_spark.format.orc_reader",
+    "read_orc": "datafusion_orc_spark.format.orc_reader",
+    "write_orc": "datafusion_orc_spark.format.orc_writer",
+    "read_orc_distributed": "datafusion_orc_spark.sources.orc_source",
+    "write_orc_distributed": "datafusion_orc_spark.sources.orc_sink",
+    "encode_files": "datafusion_orc_spark.operators.encode",
+    "encode_table": "datafusion_orc_spark.operators.encode",
+    "decode_table": "datafusion_orc_spark.operators.encode",
+    "verify_roundtrip": "datafusion_orc_spark.operators.encode",
+    "StripeBlobDataSource": "datafusion_orc_spark.sources.stripeblob_datasource",
+}
+
+
+def __getattr__(name: str):
+    mod = _API.get(name)
+    if mod is None:
+        raise AttributeError(f"module 'datafusion_orc_spark' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_API))
+
 # Bump whenever any on-disk format (stripe blobs, ORC writer output,
 # manifest layout) changes shape: /tmp caches written by queries are keyed
 # on this, so a stale dir from an older code version is never re-served.

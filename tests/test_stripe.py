@@ -120,3 +120,19 @@ def test_projection_decode():
     out = decode_stripe(blobs, batch.schema, columns=["l_orderkey", "l_quantity"])
     assert out.schema.names == ["l_orderkey", "l_quantity"]
     assert out.num_rows == batch.num_rows
+
+
+def test_top_level_api_lazy_and_pyspark_free():
+    """The package's public API resolves lazily (PEP 562): workers import
+    this package for codec kernels, so the top level must not pull
+    pyspark eagerly."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; import datafusion_orc_spark as d; "
+        "from datafusion_orc_spark import read_orc, write_orc, OrcReader; "
+        "assert 'pyspark' not in sys.modules; "
+        "assert sorted(d._API)[0] == 'OrcReader'"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, cwd="/root/repo")
