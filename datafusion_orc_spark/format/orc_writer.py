@@ -401,7 +401,14 @@ def _encode_orc_column(
         positions.append(dpos)
         enc = proto.E_DIRECT
     elif typ in (pa.int16(), pa.int32(), pa.int64()) or pa.types.is_date32(typ):
-        base = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # int16/int32/date stay 32-bit into the encoder: rle_v2_encode
+        # has an int32 fast path (half the memory traffic — the token
+        # child stream is the writer's dominant cost) and promotes to
+        # int64 itself only when the value span risks delta overflow
+        if typ == pa.int64():
+            base = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            base = dense.cast(pa.int32()).to_numpy(zero_copy_only=False)
         data, dpos = _rle_grouped(base, vstarts, signed=True)
         streams.append((proto.S_DATA, data))
         positions.append(dpos)
