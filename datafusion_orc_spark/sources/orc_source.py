@@ -227,3 +227,16 @@ def read_orc_distributed(
     if where is not None:
         out = out.filter(where)
     return out
+
+
+def register_orc(
+    spark: SparkSession, name: str, path_or_glob: str, **options
+) -> DataFrame:
+    """Register ORC file(s) as a SQL-queryable temp view — the literal
+    API shape of the reference's `SessionContextOrcExt::register_orc`
+    (lib.rs:158-169; its example then runs `ctx.sql("select ... from
+    table1")`). Options forward to :func:`read_orc_distributed`
+    (columns/split_bytes/prune/where/opener/...)."""
+    df = read_orc_distributed(spark, path_or_glob, **options)
+    df.createOrReplaceTempView(name)
+    return df

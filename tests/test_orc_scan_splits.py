@@ -142,3 +142,26 @@ def test_where_auto_prunes_and_filters_exactly(spark, tmp_path):
     df = read_orc_distributed(spark, f"{d}/*.orc", where="k >= 55000 and k < 55200")
     ks = sorted(r["k"] for r in df.collect())
     assert ks == list(range(55000, 55200))
+
+
+def test_register_orc_matches_reference_example(spark):
+    """The reference's own example workflow (examples/
+    datafusion_integration.rs + lib.rs:179-207): register the corpus
+    files as tables, run the same SQL, expect the same values."""
+    from datafusion_orc_spark.sources.orc_source import register_orc
+
+    register_orc(spark, "table1", "/root/reference/tests/basic/data/alltypes.snappy.orc")
+    rows = spark.sql("select int16, utf8 from table1 limit 5").collect()
+    key = lambda t: (t[0] is None, t[0], t[1] is None, t[1])  # noqa: E731
+    got = sorted(((r["int16"], r["utf8"]) for r in rows), key=key)
+    # lib.rs:194-206 golden (sorted); its blank cells are ' ' and ''
+    # (assert_batches renders both as empty — pyarrow confirms the bytes)
+    want = sorted(
+        [(None, None), (-1, " "), (0, ""), (1, "a"), (32767, "encode")], key=key
+    )
+    assert got == want, got
+    assert spark.sql("select count(*) from table1").collect()[0][0] == 5
+
+    register_orc(spark, "table2", "/root/reference/tests/basic/data/map_list.snappy.orc")
+    r = spark.sql("select id, m, l from table2").collect()
+    assert len(r) == 1 and r[0]["id"] == 1
