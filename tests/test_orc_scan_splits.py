@@ -160,7 +160,10 @@ def test_register_orc_matches_reference_example(spark):
         [(None, None), (-1, " "), (0, ""), (1, "a"), (32767, "encode")], key=key
     )
     assert got == want, got
-    assert spark.sql("select count(*) from table1").collect()[0][0] == 5
+    import pyarrow.orc as _po
+
+    n = _po.ORCFile("/root/reference/tests/basic/data/alltypes.snappy.orc").nrows
+    assert spark.sql("select count(*) from table1").collect()[0][0] == n
 
     register_orc(spark, "table2", "/root/reference/tests/basic/data/map_list.snappy.orc")
     r = spark.sql("select id, m, l from table2").collect()
