@@ -32,6 +32,7 @@ _API = {
     "read_orc": "datafusion_orc_spark.format.orc_reader",
     "write_orc": "datafusion_orc_spark.format.orc_writer",
     "read_orc_distributed": "datafusion_orc_spark.sources.orc_source",
+    "register_orc": "datafusion_orc_spark.sources.orc_source",
     "write_orc_distributed": "datafusion_orc_spark.sources.orc_sink",
     "encode_files": "datafusion_orc_spark.operators.encode",
     "encode_table": "datafusion_orc_spark.operators.encode",
