@@ -88,6 +88,48 @@ def _validity_buffer(valid: np.ndarray) -> pa.Buffer | None:
     return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
 
 
+def _decimal_array(t, mantissa, scales, valid: np.ndarray, n: int) -> pa.Array:
+    """Build a decimal128 array from decoded mantissas + per-value scales.
+
+    Vectorized when precision <= 18 and every per-value scale aligns to
+    the type scale by a non-negative power of 10 that keeps the scaled
+    mantissa within 18 digits (every file ORC-Java/C++ write in practice:
+    they emit scale == type scale). decimal128 stores the unscaled value
+    as a little-endian 128-bit int, so the buffer is just (lo, hi=sign)
+    int64 pairs. Falls back to a python Decimal loop for >18-digit
+    mantissas or pathological scale streams.
+    """
+    typ = pa.decimal128(t.precision or 38, t.scale)
+    if isinstance(mantissa, np.ndarray) and (t.precision or 38) <= 18:
+        adj = (int(t.scale) - scales.astype(np.int64))
+        if adj.size == 0 or (
+            (adj >= 0).all()
+            and (adj <= 18).all()
+            and (
+                np.abs(mantissa)
+                <= (10**18 - 1) // np.power(10, adj, dtype=np.int64)
+            ).all()
+        ):
+            scaled = mantissa * np.power(10, adj, dtype=np.int64)
+            full = np.zeros(n, dtype=np.int64)
+            full[valid] = scaled
+            pair = np.empty((n, 2), dtype=np.int64)
+            pair[:, 0] = full
+            pair[:, 1] = full >> 63  # sign extension to 128 bits
+            return pa.Array.from_buffers(
+                typ, n, [_validity_buffer(valid), pa.py_buffer(pair.tobytes())]
+            )
+    ctx = decimal.Context(prec=42)  # default prec=28 would round 38-digit mantissas
+    py, j = [], 0
+    for r in range(n):
+        if valid[r]:
+            py.append(Decimal(int(mantissa[j])).scaleb(-int(scales[j]), context=ctx))
+            j += 1
+        else:
+            py.append(None)
+    return pa.array(py, type=typ)
+
+
 class _StripeReader:
     def __init__(self, orc: "OrcReader", info: proto.StripeInformation):
         self.orc = orc
@@ -257,16 +299,7 @@ class _StripeReader:
                 u, _ = varint_decode(buf, n_vals)
                 mantissa = zigzag_decode(u)
             scales = rle_at(proto.S_SECONDARY, n_vals, signed=True)
-            typ = pa.decimal128(t.precision or 38, t.scale)
-            ctx = decimal.Context(prec=42)
-            py, j = [], 0
-            for r in range(n_rows):
-                if valid[r]:
-                    py.append(Decimal(int(mantissa[j])).scaleb(-int(scales[j]), context=ctx))
-                    j += 1
-                else:
-                    py.append(None)
-            return pa.array(py, type=typ)
+            return _decimal_array(t, mantissa, scales, valid, n_rows)
         if k in (proto.LIST, proto.MAP):
             # the group's LENGTH values say how many child values it owns;
             # each child column then seeks via its OWN RowIndexEntry
@@ -309,6 +342,14 @@ class _StripeReader:
             if n_vals == n_rows:
                 return pa.StructArray.from_arrays(children, names)
             mask = pa.array(~valid)
+            # all-null range: children are EMPTY arrays, so the take-by-0
+            # expansion below would raise ArrowIndexError — emit typed
+            # null children directly
+            if n_vals == 0:
+                return pa.StructArray.from_arrays(
+                    [pa.nulls(n_rows, type=ch.type) for ch in children],
+                    names, mask=mask,
+                )
             expanded = []
             for ch in children:
                 idx = np.full(n_rows, -1, dtype=np.int64)
@@ -400,17 +441,7 @@ class _StripeReader:
                 u, _ = varint_decode(buf, n_vals)
                 mantissa = zigzag_decode(u)
             scales = int_dec(self.stream(col, proto.S_SECONDARY), n_vals, signed=True)
-            typ = pa.decimal128(t.precision or 38, t.scale)
-            ctx = decimal.Context(prec=42)  # default prec=28 would round 38-digit mantissas
-            py = []
-            j = 0
-            for i in range(n):
-                if valid[i]:
-                    py.append(Decimal(int(mantissa[j])).scaleb(-int(scales[j]), context=ctx))
-                    j += 1
-                else:
-                    py.append(None)
-            return pa.array(py, type=typ)
+            return _decimal_array(t, mantissa, scales, valid, n)
         if k == proto.TIMESTAMP or k == proto.TIMESTAMP_INSTANT:
             secs = int_dec(self.stream(col, proto.S_DATA), n_vals, signed=True)
             nanos_enc = int_dec(self.stream(col, proto.S_SECONDARY), n_vals, signed=False)
@@ -484,6 +515,13 @@ class _StripeReader:
                 return pa.StructArray.from_arrays(children, names)
             # expand children through validity
             mask = pa.array(~valid)
+            # all-null column: empty children make take-by-0 raise — emit
+            # typed null children directly
+            if n_vals == 0:
+                return pa.StructArray.from_arrays(
+                    [pa.nulls(n, type=ch.type) for ch in children],
+                    names, mask=mask,
+                )
             expanded = []
             for ch in children:
                 idx = np.full(n, -1, dtype=np.int64)

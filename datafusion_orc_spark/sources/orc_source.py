@@ -31,6 +31,35 @@ DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
 DEFAULT_BATCH_ROWS = 8192
 
 
+def _boundary_cast(a: pa.Array, want: pa.DataType) -> pa.Array:
+    """Cast a decoded column to the merged (Spark-facing) schema type.
+
+    ns -> us timestamps FLOOR toward -inf: ORC legally stores nanosecond
+    components (ORC-Java/C++ writers emit them), Spark's native precision
+    is microseconds, and Spark's own ORC reader truncates rather than
+    fails — Arrow's default safe cast would raise ArrowInvalid on any
+    nonzero sub-microsecond remainder inside the scan task. Floor (not
+    truncate-toward-zero) keeps pre-epoch values consistent with epoch
+    arithmetic: -1ns is 1969-12-31T23:59:59.999999999, which floors to
+    ...999999us, not to 1970-01-01T00:00:00.
+    """
+    if (
+        pa.types.is_timestamp(a.type)
+        and pa.types.is_timestamp(want)
+        and a.type.unit == "ns"
+        and want.unit == "us"
+    ):
+        import pyarrow.compute as pc
+
+        iv = a.view(pa.int64())
+        q = pc.divide(iv, 1000)  # integer divide truncates toward zero
+        rem = pc.not_equal(pc.multiply(q, 1000), iv)
+        neg = pc.less(iv, 0)
+        q = pc.subtract(q, pc.cast(pc.and_(rem, neg), pa.int64()))
+        return q.view(want)
+    return a.cast(want)
+
+
 def merge_schemas(schemas: list[pa.Schema]) -> pa.Schema:
     """Field-union merge in first-seen order (ref file_format.rs:90-103)."""
     fields: dict[str, pa.Field] = {}
@@ -216,8 +245,8 @@ def read_orc_distributed(
                         want = merged.field(name).type
                         if name in have:
                             a = rb.column(rb.schema.get_field_index(name))
-                            if a.type != want:  # ns -> us boundary cast
-                                a = a.cast(want)
+                            if a.type != want:  # ns -> us boundary cast (floor)
+                                a = _boundary_cast(a, want)
                             arrays.append(a)
                         else:
                             arrays.append(pa.nulls(rb.num_rows, want))
