@@ -1867,9 +1867,13 @@ def _gram5(d: int, lst: str) -> str:
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: distinct word-token 5-gram overlap
     between a small 'benchmark' slice (doc_id % 211 = 0) and the rest
-    of the corpus. The benchmark side is tiny and broadcast; the corpus
-    side is scan + explode + equi-join on the gram key — no pairwise
-    document comparison, so it survives 100 TB."""
+    of the corpus. Both sides meet in an equi-join on the gram key — no
+    pairwise document comparison, so it survives 100 TB. The join
+    strategy is deliberately left to Spark (AQE +
+    autoBroadcastJoinThreshold): a real benchmark suite is a fixed-size
+    set and AQE broadcasts it when its runtime size fits, but this
+    slice scales with the corpus, so a forced F.broadcast hint would
+    bypass the size check and OOM executors at scale."""
     toks = dl.tokens(SPARK)
     docs = _t(spark, sf_dir, "documents")
     grams = (
@@ -1883,7 +1887,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = grams.filter("doc_id % 211 = 0").withColumnRenamed("doc_id", "bench_doc")
     corpus = grams.filter("doc_id % 211 <> 0")
     return (
-        corpus.join(F.broadcast(bench), "gram")
+        corpus.join(bench, "gram")
         .groupBy("bench_doc")
         .agg(
             F.countDistinct("doc_id").alias("contaminated_docs"),

@@ -153,6 +153,13 @@ def sessionize_events(
 
     import pandas as pd
 
+    def _utc_naive(us: float) -> _dt.datetime:
+        # naive-UTC convention for Spark TimestampType output
+        # (utcfromtimestamp is deprecated since Python 3.12)
+        return _dt.datetime.fromtimestamp(us / 1e6, tz=_dt.timezone.utc).replace(
+            tzinfo=None
+        )
+
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
         IntegerType, LongType, StructField, StructType, TimestampType,
@@ -177,8 +184,8 @@ def sessionize_events(
             state.remove()
             yield pd.DataFrame({
                 "user_id": [user_id],
-                "session_start": [_dt.datetime.utcfromtimestamp(start_us / 1e6)],
-                "session_end": [_dt.datetime.utcfromtimestamp(end_us / 1e6)],
+                "session_start": [_utc_naive(start_us)],
+                "session_end": [_utc_naive(end_us)],
                 "n_events": [n],
             })
             return
@@ -207,8 +214,8 @@ def sessionize_events(
             return
         rows = [
             (user_id,
-             _dt.datetime.utcfromtimestamp(s / 1e6),
-             _dt.datetime.utcfromtimestamp(e / 1e6), cnt)
+             _utc_naive(s),
+             _utc_naive(e), cnt)
             for s, e, cnt in merged[:-1]  # close every session but the live one
         ]
         start_us, end_us, n = merged[-1]
