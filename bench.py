@@ -441,10 +441,19 @@ def main() -> None:
     # cluster adds one bus per node, which one box cannot emulate past
     # ~8 cores). Sessions are interleaved (1,4,1,4) so machine phases
     # (khugepaged/writeback moods) average out across levels.
-    def measure_exec_config(path, n_exec, n_cores, warmups=2, runs=3):
+    def _cpu_sample():
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+
+    def measure_exec_config(path, n_exec, n_cores, warmups=2, runs=3, diag=None):
         """One local-cluster[n_exec,n_cores,*] session: warmups untimed,
         then ``runs`` measured walls (worker spawn + arena faults must
-        never land in the measured window)."""
+        never land in the measured window). When ``diag`` is a list, a
+        per-run diagnostic row is appended: system iowait/idle fraction
+        during the run plus the stage's task-skew histogram — the
+        evidence that separates real scaling limits from machine phases
+        (writeback storms show as high iowait; cold worker arenas as a
+        high max/median task ratio)."""
         lspark = build_session(CPUS, master=f"local-cluster[{n_exec},{n_cores},2048]")
         lspark.sparkContext.setLogLevel("ERROR")
         walls = []
@@ -453,8 +462,23 @@ def main() -> None:
                 run_encode(lspark, path, n_exec * n_cores)
                 os.sync()
             for _ in range(runs):
+                c0 = _cpu_sample()
                 r = run_encode(lspark, path, n_exec * n_cores)
+                c1 = _cpu_sample()
                 walls.append(round(r["wall"], 3))
+                if diag is not None:
+                    tot = max(1, sum(c1) - sum(c0))
+                    d = {
+                        "config": f"{n_exec}x{n_cores}",
+                        "wall": walls[-1],
+                        "iowait_frac": round((c1[4] - c0[4]) / tot, 4),
+                        "idle_frac": round((c1[3] - c0[3]) / tot, 4),
+                    }
+                    h = _task_histogram(lspark)
+                    if h:
+                        d["median_task_s"] = h["median_s"]
+                        d["max_over_median"] = h["max_over_median"]
+                    diag.append(d)
                 os.sync()
         finally:
             lspark.stop()
@@ -534,12 +558,24 @@ def main() -> None:
     if sf1_path is not None:
         @_optional("scaling_sf1")
         def _sf1_block():
+            # r4 verdict #1: with 2 walls/level the sf1 gate was a
+            # lottery (readings 0.43..1.00). Protocol now matches the
+            # sf0.1 pair: >=3 interleaved session rounds x 3 measured
+            # walls per level (9 walls/level), 1 untimed warmup per
+            # session, plus per-run iowait/idle + task-skew diagnostics
+            # so any below-gate wall is attributable (writeback storm vs
+            # cold arenas vs real contention) instead of unexplained.
+            import statistics
+
             sf1_walls: dict[int, list[float]] = {1: [], 4: []}
-            for _round in range(2):
+            diag: list[dict] = []
+            for _round in range(3):
                 for n_exec in (1, 4) if _round % 2 == 0 else (4, 1):
                     sf1_walls[n_exec] += measure_exec_config(
-                        sf1_path, n_exec, 2, warmups=1, runs=1
+                        sf1_path, n_exec, 2, warmups=1, runs=3, diag=diag
                     )
+            med1 = statistics.median(sf1_walls[1])
+            med4 = statistics.median(sf1_walls[4])
             extras["scaling_sf1"] = {
                 "rows": BENCH_ROWS * 10,
                 "total_tokens": int(sf1_tokens),
@@ -553,9 +589,12 @@ def main() -> None:
                     / 4.0,
                     3,
                 ),
+                # robust companion: medians resist the best-of lottery
+                "efficiency_exec_1_4_median": round(med1 / med4 / 4.0, 3),
+                "run_diagnostics": diag,
             }
 
-    out = {
+    full = {
         "metric": "encode throughput (tokens/sec) + query wall times",
         "value": round(sum(results.values()), 3),
         "unit": "sec",
@@ -563,6 +602,50 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         **extras,
     }
+    # Full record (every wall, histogram, diagnostic) goes to the
+    # artifact file; the PRINTED line is a compact headline-only subset.
+    # r4's driver could not parse the record ("parsed": null) because the
+    # full line overflowed its tail-capture window and lost its head —
+    # the printed record must always be small enough to survive capture.
+    artifact = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts_bench_latest.json"
+    )
+    try:
+        with open(artifact, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:  # read-only checkout: artifact is evidence, not gate
+        print(f"artifact write failed: {e}", file=sys.stderr)
+
+    def _scalars(d: dict | None, drop=("walls", "diagnostics", "histogram")) -> dict:
+        if not isinstance(d, dict):
+            return d or {}
+        return {
+            k: v
+            for k, v in d.items()
+            if not any(s in k for s in drop) and not isinstance(v, (list, dict))
+        }
+
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": results,
+        "sf": full["sf"],
+        "artifact": os.path.basename(artifact),
+    }
+    for k in (
+        "tokens_per_sec",
+        "total_tokens",
+        "compression_ratio",
+        "engine_bytes",
+        "orc_java_bytes",
+        "best_warm_tokens_per_sec",
+    ):
+        if k in extras:
+            out[k] = extras[k]
+    for k in ("scaling", "executor_scaling", "matched_total_scaling", "scaling_sf1"):
+        if k in extras:
+            out[k] = _scalars(extras[k])
     print(json.dumps(out))
 
 

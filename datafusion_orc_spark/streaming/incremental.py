@@ -71,6 +71,7 @@ def start_incremental_decode(
     checkpoint_dir: str,
     where: str | None = None,
     trigger_seconds: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """The inverse stream: watch a directory of blob parquet files
     (e.g. start_incremental_encode's output) and decode each
@@ -83,20 +84,35 @@ def start_incremental_decode(
     pushes stripe pruning + the exact residual filter into each batch
     (late-arriving stripes outside the predicate cost no decode CPU).
     Exactly-once: Spark's checkpointed batch ids + append-only output
-    named by batch id."""
+    named by batch id. ``max_files_per_trigger`` bounds each micro-batch
+    to that many blob files (Spark's maxFilesPerTrigger) — the
+    per-batch latency knob. Each batch writes a ``_lineage_batch_*.json``
+    with its decode+write wall beside the output (same lineage shape as
+    the encode stream), so latency evidence comes from the stream
+    itself."""
     from datafusion_orc_spark.operators.encode import BLOB_SCHEMA, decode_table
 
     os.makedirs(output_dir, exist_ok=True)
-    stream = (
+    reader = (
         spark.readStream.schema(BLOB_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
-        .parquet(blob_path)
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(blob_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.time()
         rows = decode_table(batch_df, None, spark_schema, shuffle=True, where=where)
-        rows.write.mode("overwrite").parquet(os.path.join(output_dir, f"batch={batch_id}"))
+        batch_dir = os.path.join(output_dir, f"batch={batch_id}")
+        rows.write.mode("overwrite").parquet(batch_dir)
+        wall = round(time.time() - t0, 3)
+        # untimed: row count via parquet metadata (decode+write is the
+        # latency; the count is lineage bookkeeping)
+        out_rows = batch_df.sparkSession.read.parquet(batch_dir).count()
+        with open(os.path.join(output_dir, f"_lineage_batch_{batch_id}.json"), "w") as f:
+            json.dump({"batch_id": batch_id, "wall_sec": wall, "out_rows": out_rows}, f)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
