@@ -30,6 +30,11 @@ _CLOSEST[0] = 1
 
 CLOSEST_TABLE = _CLOSEST  # vectorized lookup: CLOSEST_TABLE[raw_width]
 
+# vectorized width -> 5-bit header code (valid only at table widths)
+CODE_TABLE = np.full(65, -1, dtype=np.int64)
+for _c, _w in enumerate(WIDTH_TABLE):
+    CODE_TABLE[_w] = _c
+
 
 def closest_fixed_width(width: int) -> int:
     """Round a bit width up to the nearest entry in the RLEv2 width table."""

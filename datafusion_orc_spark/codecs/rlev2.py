@@ -75,11 +75,12 @@ def _encode_short_repeat(out: bytearray, value: int, count: int, signed: bool) -
     out.extend(_msb_bytes(u, w))
 
 
-def _encode_direct(out: bytearray, vals: np.ndarray, signed: bool) -> None:
-    if signed:
-        u = zigzag_encode(vals)
-    else:
-        u = vals.view(np.uint32 if vals.dtype == np.int32 else np.uint64)
+def _encode_direct(out: bytearray, vals: np.ndarray, signed: bool, u: np.ndarray | None = None) -> None:
+    if u is None:
+        if signed:
+            u = zigzag_encode(vals)
+        else:
+            u = vals.view(np.uint32 if vals.dtype == np.int32 else np.uint64)
     w = closest_fixed_width(max(1, int(u.max()).bit_length()))
     n = len(vals)
     out.append((_DIRECT << 6) | (width_code(w) << 1) | ((n - 1) >> 8))
@@ -115,11 +116,15 @@ def _encode_delta(out: bytearray, vals: np.ndarray, signed: bool, deltas: np.nda
     out.extend(packed)
 
 
-def _try_encode_patched_base(out: bytearray, vals: np.ndarray, signed: bool) -> bool:
+def _try_encode_patched_base(
+    out: bytearray, vals: np.ndarray, signed: bool, wd: int | None = None
+) -> bool:
     """PATCHED_BASE (no zigzag; min-subtraction makes values non-negative).
 
     Returns False when the shape doesn't profit (caller falls back to
     DIRECT). Mirrors ORC-Java's p90 width heuristic (SURVEY.md §4.3).
+    ``wd``: precomputed DIRECT width of the chunk (skips the zigzag +
+    width re-scan for the size comparison).
     """
     n = len(vals)
     mn = int(vals.min())
@@ -154,8 +159,9 @@ def _try_encode_patched_base(out: bytearray, vals: np.ndarray, signed: bool) -> 
         return False
     # size check vs DIRECT
     pb_size = 4 + bw + (n * w90 + 7) // 8 + (len(patch_idx) * combined + 7) // 8
-    u_direct = zigzag_encode(vals) if signed else vals.astype(np.uint64)
-    wd = closest_fixed_width(int(bit_widths(u_direct).max()))
+    if wd is None:
+        u_direct = zigzag_encode(vals) if signed else vals.astype(np.uint64)
+        wd = closest_fixed_width(int(bit_widths(u_direct).max()))
     if pb_size >= 2 + (n * wd + 7) // 8:
         return False
 
@@ -187,71 +193,159 @@ def _delta_encodable(vals: np.ndarray) -> bool:
     return bool(d[0] < 0 and np.all(d <= 0))
 
 
-def _encode_literal_segment(out: bytearray, v: np.ndarray, signed: bool) -> None:
-    """Encode a literal (run-free) segment as <=512-value runs.
+def _group_bitpack(
+    vals: np.ndarray, counts: np.ndarray, width: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pack ``counts[i]`` consecutive values per chunk at ``width`` bits,
+    each chunk zero-padded to a byte boundary — byte-identical to
+    per-chunk :func:`bit_pack` but one vectorized pass for the whole
+    group. Returns (bytes array chunk-major, per-chunk byte counts)."""
+    bcount = (counts * width + 7) // 8
+    tot = int(counts.sum())
+    if width % 8 == 0 and width in (8, 16, 32, 64):
+        be = {8: np.uint8, 16: ">u2", 32: ">u4", 64: ">u8"}[width]
+        return vals.astype(be).view(np.uint8), bcount
+    wb = (width + 7) // 8
+    isz = vals.dtype.itemsize
+    bemat = np.ascontiguousarray(vals.view(np.uint8).reshape(tot, isz)[:, wb - 1 :: -1])
+    flat = np.ascontiguousarray(
+        np.unpackbits(bemat.reshape(-1)).reshape(tot, wb * 8)[:, wb * 8 - width :]
+    ).reshape(-1)
+    # values are chunk-major, so each chunk's bits are a CONTIGUOUS span
+    # of the flat matrix; per-chunk packbits zero-pads the final partial
+    # byte exactly like per-chunk bit_pack. (A bit-level fancy-index
+    # scatter into padded blocks was ~100x slower at group scale —
+    # latency-bound, plus GB-sized index temporaries.)
+    mbits = counts * width
+    if not (mbits % 8).any():
+        return np.packbits(flat), bcount  # no per-chunk pad: one call
+    bit_off = np.cumsum(mbits) - mbits
+    parts = [
+        np.packbits(flat[o : o + c])
+        for o, c in zip(bit_off.tolist(), mbits.tolist())
+    ]
+    return np.concatenate(parts), bcount
 
-    Per-chunk mode stats (max width, monotonicity, p90 width, patch
-    count) are computed VECTORIZED across all chunks at once; DIRECT
-    chunks of equal width are then bit-packed in one batched call
-    (512·w bits is always byte-aligned, so the group blob splits
-    cleanly). Only DELTA/PATCHED_BASE chunks encode individually.
+
+def _gather(base: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Index array concatenating [base[i], base[i]+counts[i]) spans."""
+    tot = int(counts.sum())
+    return np.repeat(base, counts) + (
+        np.arange(tot) - np.repeat(np.cumsum(counts) - counts, counts)
+    )
+
+
+def _plan_literals(
+    v: np.ndarray, u: np.ndarray, d: np.ndarray, regions: np.ndarray, signed: bool
+) -> dict:
+    """Chunk + mode planning for ALL literal regions of one stream in ONE
+    vectorized pass.
+
+    r4 measured the per-region planning setup (~20 vector ops per
+    `_encode_literal_segment` call) as the dominant writer cost on
+    run-fragmented token streams (~1k regions/stripe): python-level work
+    now scales with the number of DIRECT width-runs plus DELTA/PB
+    chunks, never with the number of regions. Byte-for-byte identical
+    output to the per-region planner: chunking restarts at each region
+    boundary, regions of <=64 values stay single DIRECT runs, and the
+    PATCHED_BASE advisory sample keeps its region-relative 1-in-4
+    phase.
+
+    ``regions`` is an (R, 2) array of [lo, hi) literal spans in stream
+    order (gaps are the repeat runs emitted by the caller). Returns
+    global per-chunk arrays plus the DIRECT-batch run grouping; chunk
+    stats come from ``np.*.reduceat`` over a segment list that
+    interleaves chunk starts with "garbage" segments covering the
+    repeat-run gaps (discarded after the reduction).
     """
-    from datafusion_orc_spark.codecs.bitpack import CLOSEST_TABLE
+    from datafusion_orc_spark.codecs.bitpack import CLOSEST_TABLE, CODE_TABLE
 
-    L = len(v)
-    if L == 0:
-        return
+    n = len(v)
+    lo, hi = regions[:, 0], regions[:, 1]
+    rlen = hi - lo
+    nch = -(-rlen // _MAX_RUN)
+    fc = np.zeros(len(lo) + 1, dtype=np.int64)
+    np.cumsum(nch, out=fc[1:])
+    K = int(fc[-1])
+    rid = np.repeat(np.arange(len(lo)), nch)
+    cs = lo[rid] + (np.arange(K) - fc[rid]) * _MAX_RUN
+    ce = np.minimum(cs + _MAX_RUN, hi[rid])
+    sizes = ce - cs
+    tiny = (rlen <= 64)[rid]  # <=64-value regions: one plain DIRECT run
+
+    # reduceat segment list = chunk starts + garbage starts at region
+    # ends (so the last chunk of a region never absorbs repeat values)
+    g_starts = hi[hi < n]
+    seg = np.concatenate([cs, g_starts])
+    is_chunk = np.zeros(len(seg), dtype=bool)
+    is_chunk[:K] = True
+    order = np.argsort(seg, kind="stable")
+    seg = seg[order]
+    is_chunk = is_chunk[order]
+
+    cmin = np.minimum.reduceat(v, seg)[is_chunk]
+    cmax = np.maximum.reduceat(v, seg)[is_chunk]
     if signed:
-        u = zigzag_encode(v)
+        # zigzag is monotone up for v>=0 and monotone up toward -inf for
+        # v<0, so the chunk's max zigzag value is attained at cmin or
+        # cmax — no reduceat over the 8M-value zigzag stream needed
+        c0 = cmin.astype(np.int64)
+        c1 = cmax.astype(np.int64)
+        with np.errstate(over="ignore"):
+            umax = np.maximum(
+                ((c0 << 1) ^ (c0 >> 63)).view(np.uint64),
+                ((c1 << 1) ^ (c1 >> 63)).view(np.uint64),
+            )
     else:
-        u = v.view(np.uint32 if v.dtype == np.int32 else np.uint64)
-    starts = np.arange(0, L, _MAX_RUN)
-    ends = np.minimum(starts + _MAX_RUN, L)
-    sizes = ends - starts
-    k = len(starts)
-    # per-chunk DIRECT width from the chunk max (k values, not L)
-    w_dir = bit_widths(np.maximum.reduceat(u, starts))
-    cmin = np.minimum.reduceat(v, starts)
-    cmax = np.maximum.reduceat(v, starts)
+        umax = np.maximum.reduceat(u, seg)[is_chunk]
+    w_dir = bit_widths(umax)
     with np.errstate(over="ignore"):
         span = cmax.astype(np.int64) - cmin.astype(np.int64)
-    range_ok = span >= 0
-    range_ok &= span < (1 << 62)
+    range_ok = (span >= 0) & (span < (1 << 62))
 
     # delta eligibility: monotonic within the chunk, direction matching
-    # the first delta's sign (see _delta_encodable)
-    if L > 1:
-        d = np.diff(v)
+    # the first delta's sign (see _delta_encodable). Chunk-boundary and
+    # region-end deltas are neutralized before the segmented min.
+    if n > 1 and K:
         nonneg = d >= 0
         nonpos = d <= 0
-        cross = ends[:-1] - 1  # cross-chunk deltas: neutralize
+        cross = ce - 1
+        cross = cross[cross < n - 1]
         nonneg[cross] = True
         nonpos[cross] = True
-        red_starts = np.minimum(starts, len(d) - 1)
-        inc = np.minimum.reduceat(nonneg, red_starts)
-        dec = np.minimum.reduceat(nonpos, red_starts)
-        d0 = d[red_starts]
-        delta_ok = (sizes >= 3) & range_ok & (inc | (dec & (d0 < 0)))
+        red = np.minimum(seg, n - 2)
+        inc = np.minimum.reduceat(nonneg, red)[is_chunk]
+        dec = np.minimum.reduceat(nonpos, red)[is_chunk]
+        d0 = d[np.minimum(cs, n - 2)]
+        delta_ok = (sizes >= 3) & range_ok & ~tiny & (inc | (dec & (d0 < 0)))
     else:
-        delta_ok = np.zeros(k, dtype=bool)
+        delta_ok = np.zeros(K, dtype=bool)
 
-    # PATCHED_BASE eligibility — advisory gate on a 1-in-4 SAMPLE of each
-    # chunk (p90 width via per-chunk width histograms); the per-chunk
-    # encoder re-validates exactly and falls back to DIRECT when the gate
-    # was optimistic, so sampling never affects correctness.
-    pb_ok = np.zeros(k, dtype=bool)
-    eligible = (~delta_ok) & (sizes >= 16) & (cmin != -(1 << 63)) & range_ok
+    # PATCHED_BASE eligibility — advisory gate on a 1-in-4 SAMPLE of
+    # each chunk (p90 width via per-chunk width histograms); the
+    # per-chunk encoder re-validates exactly and falls back to DIRECT
+    # when the gate was optimistic, so sampling never affects
+    # correctness. Sample offsets are region-relative (same phase as the
+    # old per-region planner).
+    pb_ok = np.zeros(K, dtype=bool)
+    eligible = (~delta_ok) & (sizes >= 16) & (cmin != -(1 << 63)) & range_ok & ~tiny
     if eligible.any():
         stride = 4
-        sample_pos = np.arange(0, L, stride)
-        schunk = sample_pos // _MAX_RUN
+        ns_reg = -(-rlen // stride)
+        fs = np.zeros(len(lo) + 1, dtype=np.int64)
+        np.cumsum(ns_reg, out=fs[1:])
+        S = int(fs[-1])
+        srid = np.repeat(np.arange(len(lo)), ns_reg)
+        soff = (np.arange(S) - fs[srid]) * stride
+        spos = lo[srid] + soff
+        schunk = fc[srid] + soff // _MAX_RUN
         u_dt = np.uint32 if v.dtype == np.int32 else np.uint64
         with np.errstate(over="ignore"):
-            reduced_s = (v[sample_pos] - cmin[schunk]).view(u_dt)
+            reduced_s = (v[spos] - cmin[schunk]).view(u_dt)
         rw = bit_widths(reduced_s)
-        hist = np.bincount(schunk * 65 + rw, minlength=k * 65).reshape(k, 65)
+        hist = np.bincount(schunk * 65 + rw, minlength=K * 65).reshape(K, 65)
         cum = np.cumsum(hist, axis=1)
-        n_s = np.bincount(schunk, minlength=k)
+        n_s = np.bincount(schunk, minlength=K)
         thresh = np.maximum(-(-9 * n_s // 10), 1)  # ceil(0.9 * sample size)
         w90 = CLOSEST_TABLE[np.argmax(cum >= thresh[:, None], axis=1)]
         wmax_red = CLOSEST_TABLE[np.max(np.where(hist > 0, np.arange(65)[None, :], 0), axis=1)]
@@ -259,44 +353,173 @@ def _encode_literal_segment(out: bytearray, v: np.ndarray, signed: bool) -> None
         patches_scaled = (n_s - covered) * stride  # extrapolate sample->chunk
         pb_ok = eligible & (w90 < wmax_red) & (patches_scaled >= 1) & (patches_scaled <= _MAX_PATCHES * 2)
 
-    # Assembly without a per-chunk python loop: DIRECT is the dominant
-    # mode (token data has near-uniform widths), so maximal runs of
-    # consecutive full DIRECT chunks with equal fixed width are packed in
-    # ONE bit_pack over the contiguous slice (512·w bits per chunk is
-    # byte-aligned, so the blob splits cleanly) and the 2-byte headers
-    # are interleaved with a single strided numpy write — python-level
-    # work scales with the number of runs (~a handful per stripe), not
-    # the number of 512-value chunks (tens of thousands per stripe).
+    # DIRECT-batch run grouping: maximal runs of consecutive full DIRECT
+    # chunks with equal fixed width WITHIN one region (a region change
+    # always breaks the run — repeat bytes interleave between regions)
     wfix = CLOSEST_TABLE[np.maximum(w_dir, 1)]
     special = delta_ok | pb_ok
     batch = (~special) & (sizes == _MAX_RUN)
     grp = np.where(batch, wfix.astype(np.int64), -1)
-    change = np.empty(k, dtype=bool)
-    change[0] = True
-    np.not_equal(grp[1:], grp[:-1], out=change[1:])
-    seg_starts = np.flatnonzero(change)
-    seg_ends = np.append(seg_starts[1:], k)
+    change = np.ones(K, dtype=bool)
+    if K > 1:
+        change[1:] = (grp[1:] != grp[:-1]) | (rid[1:] != rid[:-1])
+    run_starts = np.flatnonzero(change)
 
-    for a, b in zip(seg_starts.tolist(), seg_ends.tolist()):
-        if grp[a] >= 0:
-            w = int(grp[a])
+    # ---- pre-encoded chunk blob (DIRECT tails + tiny regions + DELTA) --
+    #
+    # Every non-batched DIRECT chunk and every DELTA chunk is encoded
+    # here in grouped vectorized passes (values gathered once per width
+    # group, one packbits per group, headers/varints scattered into a
+    # single blob); emission becomes one slice per chunk. PATCHED_BASE
+    # chunks stay per-chunk (their exact re-validation can fall back to
+    # DIRECT). All bytes are identical to the per-chunk encoders.
+    dpos = np.full(K, -1, dtype=np.int64)
+    pieces: list[tuple[np.ndarray, np.ndarray]] = []  # (chunk ids, per-chunk bytes)
+
+    dmask = (~special) & ~batch
+    if dmask.any():
+        dsel = np.flatnonzero(dmask)
+        m = sizes[dsel]
+        w = wfix[dsel].astype(np.int64)
+        nb = 2 + (m * w + 7) // 8
+        off = np.zeros(len(dsel) + 1, dtype=np.int64)
+        np.cumsum(nb, out=off[1:])
+        blob = np.zeros(int(off[-1]), dtype=np.uint8)
+        blob[off[:-1]] = (_DIRECT << 6) | (CODE_TABLE[w] << 1) | ((m - 1) >> 8)
+        blob[off[:-1] + 1] = (m - 1) & 0xFF
+        for wv in np.unique(w):
+            wv = int(wv)
+            g = w == wv
+            msz = sizes[dsel[g]]
+            gbytes, bcount = _group_bitpack(u[_gather(cs[dsel[g]], msz)], msz, wv)
+            blob[_gather(off[:-1][g] + 2, bcount)] = gbytes
+        pieces.append((dsel, np.diff(off)))
+        d_blob_direct = blob
+    else:
+        d_blob_direct = None
+
+    d_blob_delta = None
+    if delta_ok.any():
+        dl = np.flatnonzero(delta_ok)
+        msz = sizes[dl]
+        dm = msz - 1  # deltas per chunk (>= 2: delta needs sizes >= 3)
+        dd = d[_gather(cs[dl], dm)]  # all chunk deltas, chunk-major
+        loc = np.cumsum(dm) - dm
+        fixedc = np.maximum.reduceat(dd, loc) == np.minimum.reduceat(dd, loc)
+        base = v[cs[dl]].astype(np.int64)
+        d0v = dd[loc].astype(np.int64)
+        ubase = zigzag_encode(base) if signed else base.view(np.uint64)
+        ud0 = zigzag_encode(d0v)
+        nb_base = (bit_widths(ubase) + 6) // 7  # varint byte counts
+        nb_d0 = (bit_widths(ud0) + 6) // 7
+        # packed-mag widths (deltas[1:] magnitudes; width 1 is reserved
+        # for "fixed", so it bumps to 2 — same rule as _encode_delta)
+        keep = np.ones(len(dd), dtype=bool)
+        keep[loc] = False
+        mags_all = np.abs(dd[keep]).astype(np.uint64)
+        mcnt = dm - 1
+        mloc = np.cumsum(mcnt) - mcnt
+        wch = CLOSEST_TABLE[bit_widths(np.maximum.reduceat(mags_all, mloc))].astype(np.int64)
+        wch[wch == 1] = 2
+        pack_bytes = np.where(fixedc, 0, (mcnt * wch + 7) // 8)
+        nb = 2 + nb_base + nb_d0 + pack_bytes
+        off = np.zeros(len(dl) + 1, dtype=np.int64)
+        np.cumsum(nb, out=off[1:])
+        blob = np.zeros(int(off[-1]), dtype=np.uint8)
+        blob[off[:-1]] = (
+            (_DELTA << 6) | (np.where(fixedc, 0, CODE_TABLE[wch]) << 1) | ((msz - 1) >> 8)
+        )
+        blob[off[:-1] + 1] = (msz - 1) & 0xFF
+        blob[_gather(off[:-1] + 2, nb_base)] = np.frombuffer(varint_encode(ubase), np.uint8)
+        blob[_gather(off[:-1] + 2 + nb_base, nb_d0)] = np.frombuffer(varint_encode(ud0), np.uint8)
+        data_off = off[:-1] + 2 + nb_base + nb_d0
+        nf = ~fixedc
+        for wv in np.unique(wch[nf]):
+            g = nf & (wch == wv)
+            gbytes, bcount = _group_bitpack(
+                mags_all[_gather(mloc[g], mcnt[g])], mcnt[g], int(wv)
+            )
+            blob[_gather(data_off[g], bcount)] = gbytes
+        pieces.append((dl, np.diff(off)))
+        d_blob_delta = blob
+
+    d_off: list[int] = []
+    dview: memoryview | None = None
+    if pieces:
+        all_ids = np.concatenate([p[0] for p in pieces])
+        all_nb = np.concatenate([p[1] for p in pieces])
+        blobs = [b for b in (d_blob_direct, d_blob_delta) if b is not None]
+        comb = np.concatenate(blobs) if len(blobs) > 1 else blobs[0]
+        st = np.zeros(len(all_nb) + 1, dtype=np.int64)
+        np.cumsum(all_nb, out=st[1:])
+        dpos[all_ids] = np.arange(len(all_ids))
+        d_off = st.tolist()
+        dview = memoryview(comb.tobytes())
+
+    return {
+        "cs": cs,
+        "ce": ce,
+        "delta_ok": delta_ok,
+        "pb_ok": pb_ok,
+        "wfix": wfix,
+        "run_starts": run_starts.tolist(),
+        "run_ends": np.append(run_starts[1:], K).tolist(),
+        "run_region": rid[run_starts].tolist(),
+        "run_grp": grp[run_starts].tolist(),
+        "dpos": dpos.tolist(),
+        "d_off": d_off,
+        "dview": dview,
+    }
+
+
+def _emit_region_runs(
+    out: bytearray,
+    v: np.ndarray,
+    u: np.ndarray,
+    d: np.ndarray,
+    plan: dict,
+    region: int,
+    rc: int,
+    signed: bool,
+) -> int:
+    """Emit every planned run of ``region`` (plan cursor ``rc`` ->
+    new cursor). Batched DIRECT runs pack their whole span in one
+    bit_pack and tile the 2-byte headers with one strided write;
+    DELTA/PATCHED_BASE/tail chunks encode individually."""
+    run_starts = plan["run_starts"]
+    run_region = plan["run_region"]
+    cs, ce = plan["cs"], plan["ce"]
+    delta_ok, pb_ok = plan["delta_ok"], plan["pb_ok"]
+    dpos, d_off, dview = plan["dpos"], plan["d_off"], plan["dview"]
+    while rc < len(run_starts) and run_region[rc] == region:
+        a, b = run_starts[rc], plan["run_ends"][rc]
+        w = plan["run_grp"][rc]
+        if w >= 0:
             nrun = b - a
-            packed = bit_pack(u[starts[a] : ends[b - 1]], w)
+            packed = bit_pack(u[cs[a] : ce[b - 1]], w)
             block = (_MAX_RUN * w) // 8
             arr = np.empty((nrun, block + 2), dtype=np.uint8)
             arr[:, 0] = (_DIRECT << 6) | (width_code(w) << 1) | ((_MAX_RUN - 1) >> 8)
             arr[:, 1] = (_MAX_RUN - 1) & 0xFF
             arr[:, 2:] = np.frombuffer(packed, dtype=np.uint8).reshape(nrun, block)
             out += arr.tobytes()
-            continue
-        for i in range(a, b):
-            s, e = int(starts[i]), int(ends[i])
-            if delta_ok[i]:
-                _encode_delta(out, v[s:e], signed, deltas=d[s : e - 1])
-            elif pb_ok[i] and _try_encode_patched_base(out, v[s:e], signed):
-                pass
-            else:
-                _encode_direct(out, v[s:e], signed)
+        else:
+            for c in range(a, b):
+                dp = dpos[c]
+                if dp >= 0:  # pre-encoded DIRECT chunk: one blob slice
+                    out += dview[d_off[dp] : d_off[dp + 1]]
+                    continue
+                s, e = int(cs[c]), int(ce[c])
+                if delta_ok[c]:
+                    _encode_delta(out, v[s:e], signed, deltas=d[s : e - 1])
+                elif pb_ok[c] and _try_encode_patched_base(
+                    out, v[s:e], signed, wd=int(plan["wfix"][c])
+                ):
+                    pass
+                else:
+                    _encode_direct(out, v[s:e], signed, u=u[s:e])
+        rc += 1
+    return rc
 
 
 def rle_v2_encode(vals: np.ndarray, signed: bool = True) -> bytes:
@@ -332,16 +555,19 @@ def rle_v2_encode(vals: np.ndarray, signed: bool = True) -> bytes:
     rep_starts = run_starts[rep_mask]
     rep_lens = run_lens[rep_mask]
 
-    def emit_literals(lo: int, hi: int) -> None:
-        if hi - lo <= 64:
-            # tiny fragment between repeat runs: one DIRECT run beats the
-            # batched segment machinery (~20 vector ops of setup) — run-
-            # fragmented streams (dictionary indices over skewed keys)
-            # emit hundreds of these per stripe, and the per-call setup
-            # was the single biggest rlev2 encode cost on the bench table
-            _encode_direct(out, v[lo:hi], signed)
-            return
-        _encode_literal_segment(out, v[lo:hi], signed)
+    def constant_delta(val: int, take: int) -> bytes:
+        # fixed-delta-0 run built directly from scalars: byte-identical
+        # to _encode_delta(np.full(take, val)) without the array alloc +
+        # vector passes (one long run emits one of these per 512-chunk
+        # tail; token stripes carry hundreds)
+        b = bytearray()
+        b.append((_DELTA << 6) | ((take - 1) >> 8))
+        b.append((take - 1) & 0xFF)
+        b += varint_encode_scalar(
+            zigzag_scalar(val) if signed else (val & 0xFFFFFFFFFFFFFFFF)
+        )
+        b.append(0)  # varint(zigzag(0)): fixed delta 0
+        return bytes(b)
 
     def emit_repeat(start: int, length: int) -> None:
         val = int(v[start])
@@ -358,12 +584,10 @@ def rle_v2_encode(vals: np.ndarray, signed: bool = True) -> bytes:
                 _encode_short_repeat(out, val, take, signed)
             elif take == _MAX_RUN:
                 if full_chunk is None:
-                    buf = bytearray()
-                    _encode_delta(buf, np.full(take, val, dtype=np.int64), signed)
-                    full_chunk = bytes(buf)
+                    full_chunk = constant_delta(val, take)
                 out.extend(full_chunk)  # extend, not +=: += would rebind the closure var
             else:
-                _encode_delta(out, np.full(take, val, dtype=np.int64), signed)
+                out.extend(constant_delta(val, take))
             pos += take
 
     # batch SHORT_REPEAT emission: runs of 3..10 values encode as
@@ -404,20 +628,47 @@ def rle_v2_encode(vals: np.ndarray, signed: bool = True) -> bytes:
         )
     heads = np.flatnonzero(~adj).tolist()
     starts_l, lens_l = rep_starts.tolist(), rep_lens.tolist()
+
+    # Two passes over the emission schedule: first collect the literal
+    # regions (the gaps between repeat units), plan ALL their chunks in
+    # one vectorized pass (_plan_literals — python work no longer scales
+    # with region count), then walk the schedule emitting repeat bytes
+    # and planned literal runs in stream order.
+    items: list[tuple] = []  # ("lit", region#) | ("sr", lo, hi) | ("rep", s, len)
+    region_spans: list[tuple[int, int]] = []
     cursor = 0
     for ui, i in enumerate(heads):
         j = (heads[ui + 1] - 1) if ui + 1 < len(heads) else n_rep - 1
         s = starts_l[i]
         if s > cursor:
-            emit_literals(cursor, s)
+            items.append(("lit", len(region_spans)))
+            region_spans.append((cursor, s))
         if sr_view is not None and sr_pos_l[i] >= 0:
-            out += sr_view[sr_off_l[sr_pos_l[i]] : sr_off_l[sr_pos_l[j] + 1]]
+            items.append(("sr", sr_off_l[sr_pos_l[i]], sr_off_l[sr_pos_l[j] + 1]))
             cursor = starts_l[j] + lens_l[j]
         else:
-            emit_repeat(s, lens_l[i])
+            items.append(("rep", s, lens_l[i]))
             cursor = s + lens_l[i]
     if cursor < n:
-        emit_literals(cursor, n)
+        items.append(("lit", len(region_spans)))
+        region_spans.append((cursor, n))
+
+    u = d = None
+    plan = None
+    if region_spans:
+        u = zigzag_encode(v) if signed else v.view(np.uint32 if v.dtype == np.int32 else np.uint64)
+        d = np.diff(v) if n > 1 else np.empty(0, dtype=v.dtype)
+        plan = _plan_literals(v, u, d, np.asarray(region_spans, dtype=np.int64), signed)
+
+    rc = 0
+    for item in items:
+        kind = item[0]
+        if kind == "lit":
+            rc = _emit_region_runs(out, v, u, d, plan, item[1], rc, signed)
+        elif kind == "sr":
+            out += sr_view[item[1] : item[2]]
+        else:
+            emit_repeat(item[1], item[2])
     return bytes(out)
 
 

@@ -150,11 +150,16 @@ def _collect_stats(arr: pa.Array, typ: pa.DataType) -> dict:
         s["kind"] = "bucket"
         s["true_count"] = int(pc.sum(dense).as_py() or 0)
     elif typ in (pa.int8(), pa.int16(), pa.int32(), pa.int64()) or pa.types.is_date32(typ):
-        v = dense.cast(pa.int64())
-        mm = pc.min_max(v)
+        # min_max/sum work on the native width (pc.sum accumulates in
+        # int64) — casting a 7.9M-value token child to int64 first was
+        # a pure copy on the writer's hottest stats path. date32 still
+        # casts (its scalars surface as datetime.date, not int).
+        if pa.types.is_date32(typ):
+            dense = dense.cast(pa.int64())
+        mm = pc.min_max(dense)
         s["kind"] = "int"
-        s["min"], s["max"] = mm["min"].as_py(), mm["max"].as_py()
-        total = int(pc.sum(v).as_py())
+        s["min"], s["max"] = int(mm["min"].as_py()), int(mm["max"].as_py())
+        total = int(pc.sum(dense).as_py())
         if -(1 << 63) <= total < (1 << 63):
             s["sum"] = total
     elif typ in (pa.float32(), pa.float64()):
