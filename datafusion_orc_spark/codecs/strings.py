@@ -293,6 +293,39 @@ def _parse_elements(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     return elem_id, starts
 
 
+def _apply_pairs(
+    elem_id: np.ndarray,
+    elem_len: np.ndarray,
+    string_id: np.ndarray,
+    pair_code: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One generation REWRITE: greedy non-overlapping replacement of the
+    adjacent element pairs whose key maps to a code in ``pair_code``
+    (512*512 -> new code or -1). Shared by training and the cached
+    cross-stripe reuse path — identical selection rules (same-string,
+    combined length <= 8, run-parity non-overlap)."""
+    if len(elem_id) < 2:
+        return elem_id, elem_len, string_id
+    key = elem_id[:-1] * 512 + elem_id[1:]
+    valid = (string_id[:-1] == string_id[1:]) & (
+        elem_len[:-1] + elem_len[1:] <= MAX_SYMBOL_LEN
+    )
+    m = np.zeros(len(elem_id), dtype=bool)
+    m[:-1] = valid & (pair_code[key] >= 0)
+    run_start = m & ~np.concatenate(([False], m[:-1]))
+    pos = np.arange(len(m)) - np.maximum.accumulate(np.where(run_start, np.arange(len(m)), -1))
+    sel = m & (pos % 2 == 0)
+    consumed = np.zeros(len(m), dtype=bool)
+    consumed[1:] = sel[:-1]
+    keep = ~consumed
+    new_id = elem_id.copy()
+    idx = np.flatnonzero(sel)
+    new_id[idx] = pair_code[key[idx]]
+    new_len = elem_len.copy()
+    new_len[idx] = elem_len[idx] + elem_len[idx + 1]
+    return new_id[keep], new_len[keep], string_id[keep]
+
+
 def _merge_rounds(
     elem_id: np.ndarray,
     table: FsstTable,
@@ -300,7 +333,7 @@ def _merge_rounds(
     rounds: int = 3,
     min_count: int = 8,
     sample_elems: int | None = 1 << 18,
-) -> tuple[np.ndarray, FsstTable]:
+) -> tuple[np.ndarray, FsstTable, list[tuple[np.ndarray, np.ndarray]]]:
     """FSST generational construction: per round, concatenate the most
     profitable adjacent element pairs into new symbols (<=8 bytes) and
     rewrite the element stream vectorized (run-parity non-overlap).
@@ -314,8 +347,14 @@ def _merge_rounds(
     at 100 TB every stripe trains, and counting the full stream per
     generation was ~30% of train cost. The REWRITE still covers the
     full stream (its output IS the encoding). None = select on the full
-    stream (the measurement baseline)."""
+    stream (the measurement baseline).
+
+    Returns (final elements, final table, gens): ``gens`` is each
+    round's chosen pair map as (keys, codes) — enough to REPLAY the
+    generational rewrites on a different stripe without re-running
+    selection (the cross-stripe cache in fsst_compress_column)."""
     symbols = list(table.symbols)
+    gens: list[tuple[np.ndarray, np.ndarray]] = []
 
     def expansion(eid: int) -> bytes:
         return symbols[eid] if eid < 256 else bytes([eid - 256])
@@ -373,28 +412,14 @@ def _merge_rounds(
         if sum(g for g, _k, _s in chosen) < 0.002 * len(elem_id):
             break
         pair_code = np.full(512 * 512, -1, dtype=np.int64)
+        gen_keys = np.array([k for _g, k, _s in chosen], dtype=np.int64)
         for _g, k, sym in chosen:
             pair_code[k] = len(symbols)
             symbols.append(sym)
         table = FsstTable(symbols)
-        # rewrite: greedy non-overlapping replacement of chosen pairs
-        m = np.zeros(len(elem_id), dtype=bool)
-        m[:-1] = valid & (pair_code[key] >= 0)
-        run_start = m & ~np.concatenate(([False], m[:-1]))
-        pos = np.arange(len(m)) - np.maximum.accumulate(np.where(run_start, np.arange(len(m)), -1))
-        sel = m & (pos % 2 == 0)
-        consumed = np.zeros(len(m), dtype=bool)
-        consumed[1:] = sel[:-1]
-        keep = ~consumed
-        new_id = elem_id.copy()
-        idx = np.flatnonzero(sel)
-        new_id[idx] = pair_code[key[idx]]
-        new_len = elem_len.copy()
-        new_len[idx] = elem_len[idx] + elem_len[idx + 1]
-        elem_id = new_id[keep]
-        elem_len = new_len[keep]
-        string_id = string_id[keep]
-    return elem_id, FsstTable(symbols)
+        gens.append((gen_keys, pair_code[gen_keys]))
+        elem_id, elem_len, string_id = _apply_pairs(elem_id, elem_len, string_id, pair_code)
+    return elem_id, FsstTable(symbols), gens
 
 
 def _emit_elements(elem_id: np.ndarray) -> bytes:
@@ -414,26 +439,94 @@ def _emit_elements(elem_id: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def fsst_compress_column(blob: bytes, lengths: np.ndarray) -> tuple[bytes, bytes] | None:
-    """Train + compress a string column (full FSST: base 1-2 byte table,
-    then merge rounds growing symbols to <=8 bytes). Returns
-    (table_bytes, data) or None when unprofitable (<5% savings),
-    mirroring E6's fallback."""
-    base = fsst_train(blob, max_symbols=128)  # leave room for merged symbols
+class _FsstGenEntry:
+    """Cached training artifacts for one column: base table, the
+    per-generation pair maps, the final table, and the training stripe's
+    achieved ratio (the reuse-quality anchor)."""
+
+    __slots__ = ("base", "gens", "table", "ratio", "uses")
+
+    def __init__(self, base, gens, table, ratio):
+        self.base = base
+        self.gens = gens
+        self.table = table
+        self.ratio = ratio
+        self.uses = 0
+
+
+_FSST_GEN_CACHE: dict[str, _FsstGenEntry] = {}
+# retrain anchor: after this many reuses, train fresh once so a slowly
+# drifting column re-anchors its table (cheap insurance at 1/N cost)
+_FSST_REFRESH_EVERY = 64
+
+
+def fsst_cache_clear() -> None:
+    _FSST_GEN_CACHE.clear()
+
+
+def _fsst_encode_elements(blob: bytes, lengths: np.ndarray, base: FsstTable):
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     # elements come straight out of the encoder (no re-parse of the byte
     # stream), and their input offsets locate each element's source
     # string — elements never span values (boundaries forbid it)
-    data, elem_id, src_start = fsst_encode(
+    _data, elem_id, src_start = fsst_encode(
         blob, base, boundaries=offsets[1:-1], return_elements=True
     )
     string_id = np.searchsorted(offsets[1:], src_start, side="right")
-    elem_id, table = _merge_rounds(elem_id, base, string_id)
+    return elem_id, string_id
+
+
+def fsst_compress_column(
+    blob: bytes, lengths: np.ndarray, cache_key: str | None = None
+) -> tuple[bytes, bytes] | None:
+    """Train + compress a string column (full FSST: base 1-2 byte table,
+    then merge rounds growing symbols to <=8 bytes). Returns
+    (table_bytes, data) or None when unprofitable (<5% savings),
+    mirroring E6's fallback.
+
+    ``cache_key`` (e.g. the column name) enables CROSS-STRIPE reuse: the
+    first stripe trains and caches (base table, per-generation pair
+    maps, final table); later stripes skip training and selection
+    entirely — base-encode, REPLAY the cached generation rewrites, emit.
+    Reuse self-checks: if the reused ratio falls more than 1% below the
+    training stripe's ratio (dissimilar data, or a key collision across
+    tables in a long-lived worker), the stripe trains fresh and the
+    entry is refreshed; every _FSST_REFRESH_EVERY reuses one fresh train
+    re-anchors a slowly drifting column."""
+    ent = _FSST_GEN_CACHE.get(cache_key) if cache_key is not None else None
+    if ent is not None and ent.uses < _FSST_REFRESH_EVERY:
+        elem_id, string_id = _fsst_encode_elements(blob, lengths, ent.base)
+        elem_len = np.where(
+            elem_id < 256, ent.base.out_len[np.minimum(elem_id, 255)], 1
+        ).astype(np.int64)
+        pair_code = np.full(512 * 512, -1, dtype=np.int64)
+        for keys, codes in ent.gens:
+            pair_code[:] = -1
+            pair_code[keys] = codes
+            elem_id, elem_len, string_id = _apply_pairs(
+                elem_id, elem_len, string_id, pair_code
+            )
+        data = _emit_elements(elem_id)
+        tbl = ent.table.serialize()
+        size = len(data) + len(tbl)
+        ratio = len(blob) / max(1, size)
+        if size <= 0.95 * max(1, len(blob)) and ratio >= 0.99 * ent.ratio:
+            ent.uses += 1
+            return tbl, data
+        # regression vs the training anchor: fall through to a fresh train
+
+    base = fsst_train(blob, max_symbols=128)  # leave room for merged symbols
+    elem_id, string_id = _fsst_encode_elements(blob, lengths, base)
+    elem_id, table, gens = _merge_rounds(elem_id, base, string_id)
     data = _emit_elements(elem_id)
     tbl = table.serialize()
     if len(data) + len(tbl) > 0.95 * max(1, len(blob)):
         return None
+    if cache_key is not None:
+        _FSST_GEN_CACHE[cache_key] = _FsstGenEntry(
+            base, gens, table, len(blob) / max(1, len(data) + len(tbl))
+        )
     return tbl, data
 
 

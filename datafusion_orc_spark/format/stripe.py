@@ -391,12 +391,14 @@ def _int_data_decode(codec: str, streams: dict[int, bytes], n: int) -> np.ndarra
 
 # ------------------------------------------------------------- encode
 
-def encode_column(arr: pa.Array | pa.ChunkedArray) -> tuple[bytes, dict]:
+def encode_column(arr: pa.Array | pa.ChunkedArray, name: str | None = None) -> tuple[bytes, dict]:
     """Encode one column of a stripe -> (blob, stats).
 
     Codec choice is E9 (codecs/selector.py); kernels are all vectorized.
     Unsupported types fall back to Arrow IPC (raw_ipc) so every schema
-    round-trips.
+    round-trips. ``name`` keys the cross-stripe FSST generation cache
+    (long-lived workers reuse one column's trained table across stripes;
+    the cache self-checks ratio and retrains on drift).
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -461,7 +463,7 @@ def encode_column(arr: pa.Array | pa.ChunkedArray) -> tuple[bytes, dict]:
                 (K_DATA, rle_v2_encode(idx, signed=False)),
             ], blob)
         if codec == "str_fsst":
-            res = fsst_compress_column(blob, lengths)
+            res = fsst_compress_column(blob, lengths, cache_key=name)
             if res is not None:
                 tbl, data = res
                 return fin("str_fsst", [
@@ -679,7 +681,7 @@ def encode_stripe(batch: pa.RecordBatch) -> tuple[dict[str, bytes], list[dict]]:
     blobs: dict[str, bytes] = {}
     stats: list[dict] = []
     for i, name in enumerate(batch.schema.names):
-        blob, st = encode_column(batch.column(i))
+        blob, st = encode_column(batch.column(i), name=name)
         st["column"] = name
         blobs[name] = blob
         stats.append(st)

@@ -151,7 +151,7 @@ def test_fsst_sampled_merge_selection_matches_and_is_cheaper():
         best, out = 9e9, None
         for _ in range(6):
             t0 = time.perf_counter()
-            ei, tbl = S._merge_rounds(elem_id, base, string_id, sample_elems=sample)
+            ei, tbl, _gens = S._merge_rounds(elem_id, base, string_id, sample_elems=sample)
             best = min(best, time.perf_counter() - t0)
             out = (ei, tbl)
         return best, out
