@@ -220,6 +220,7 @@ def encode_files(
     output_dir: str | None = None,
     row_groups_per_split: int = 1,
     parallelism: int | None = None,
+    discard_output: bool = False,
 ) -> DataFrame:
     """Parquet files -> blob table WITHOUT moving row data through the JVM.
 
@@ -234,6 +235,11 @@ def encode_files(
     mirrors the reference's architecture (scan + decode live in one
     native process, physical_exec.rs:57-91) while keeping Spark as the
     scheduler/scale-out layer.
+
+    ``discard_output=True`` is the dry-run/benchmark mode: blobs are
+    encoded in-task and dropped (stats rows only, nothing written) —
+    the pure scan+encode compute probe that isolates engine scaling
+    from the output path's page-cache behavior.
     """
     import uuid as _uuid
 
@@ -334,7 +340,12 @@ def encode_files(
                     src, stripe_rows, part_id, job_token,
                     seq_start=k << 16, seq_end=(k + 1) << 16,
                 )
-                if output_dir is None:
+                if discard_output:
+                    for bb in blob_batches:  # encode fully, keep stats only
+                        yield from pa.Table.from_batches(
+                            [bb], schema=_BLOB_PA_SCHEMA
+                        ).drop_columns("data").to_batches()
+                elif output_dir is None:
                     yield from blob_batches
                 else:
                     out = pa.Table.from_batches(list(blob_batches), schema=_BLOB_PA_SCHEMA)
@@ -355,7 +366,9 @@ def encode_files(
                     yield from out.drop_columns("data").to_batches()
                 k += 1
 
-    return sdf.mapInArrow(enc, BLOB_SCHEMA if output_dir is None else stats_schema)
+    return sdf.mapInArrow(
+        enc, BLOB_SCHEMA if output_dir is None and not discard_output else stats_schema
+    )
 
 
 _PRED_RE = None

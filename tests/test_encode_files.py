@@ -72,3 +72,17 @@ def test_encode_files_parallelism_cap(spark):
     a = df2.agg(F.sum("n_rows"), F.sum("enc_bytes")).collect()[0]
     b = full.agg(F.sum("n_rows"), F.sum("enc_bytes")).collect()[0]
     assert list(a) == list(b)
+
+
+def test_encode_files_discard_output(spark):
+    """discard_output=True (the scaling-probe dry-run mode) encodes
+    fully and emits the SAME stats rows as the write path, with no
+    'data' column and nothing written."""
+    from pyspark.sql import functions as F
+
+    d = encode_files(spark, SRC, stripe_rows=2000, job_token=5, discard_output=True)
+    assert "data" not in d.columns
+    w = encode_files(spark, SRC, stripe_rows=2000, job_token=5)
+    a = d.agg(F.sum("n_rows"), F.sum("enc_bytes"), F.count(F.lit(1))).collect()[0]
+    b = w.agg(F.sum("n_rows"), F.sum("enc_bytes"), F.count(F.lit(1))).collect()[0]
+    assert list(a) == list(b)
