@@ -126,7 +126,9 @@ def materialize_tokens(spark, n_rows: int | None = None) -> str:
 BLOB_OUT = "/tmp/spark_graft_bench_blobs"
 
 
-def run_encode(spark, path: str, parallelism: int | None = None) -> dict:
+def run_encode(
+    spark, path: str, parallelism: int | None = None, discard: bool = False
+) -> dict:
     """The timed unit for throughput + scaling: the FULL production
     encode — python workers scan parquet row groups directly (pyarrow
     C++), encode with the codec kernels, and write blob part files from
@@ -138,7 +140,8 @@ def run_encode(spark, path: str, parallelism: int | None = None) -> dict:
     directly comparable to df.write.orc."""
     from datafusion_orc_spark.operators.encode import encode_files
 
-    shutil.rmtree(BLOB_OUT, ignore_errors=True)
+    if not discard:
+        shutil.rmtree(BLOB_OUT, ignore_errors=True)
     # AQE off for this one job: the encode is a single mapInArrow stage
     # with no exchange — AQE only adds a replan round-trip per run
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -146,7 +149,9 @@ def run_encode(spark, path: str, parallelism: int | None = None) -> dict:
     try:
         t0 = time.time()
         stats = encode_files(
-            spark, path, stripe_rows=16384, output_dir=BLOB_OUT, parallelism=parallelism
+            spark, path, stripe_rows=16384,
+            output_dir=None if discard else BLOB_OUT,
+            parallelism=parallelism, discard_output=discard,
         )
         # collect the few-hundred tiny stats rows and reduce driver-side:
         # a .agg() here planned a partial-agg + Exchange + final-agg tail
@@ -445,7 +450,7 @@ def main() -> None:
         with open("/proc/stat") as f:
             return [int(x) for x in f.readline().split()[1:]]
 
-    def measure_exec_config(path, n_exec, n_cores, warmups=2, runs=3, diag=None):
+    def measure_exec_config(path, n_exec, n_cores, warmups=2, runs=3, diag=None, discard=False):
         """One local-cluster[n_exec,n_cores,*] session: warmups untimed,
         then ``runs`` measured walls (worker spawn + arena faults must
         never land in the measured window). When ``diag`` is a list, a
@@ -459,11 +464,11 @@ def main() -> None:
         walls = []
         try:
             for _ in range(warmups):
-                run_encode(lspark, path, n_exec * n_cores)
+                run_encode(lspark, path, n_exec * n_cores, discard=discard)
                 os.sync()
             for _ in range(runs):
                 c0 = _cpu_sample()
-                r = run_encode(lspark, path, n_exec * n_cores)
+                r = run_encode(lspark, path, n_exec * n_cores, discard=discard)
                 c1 = _cpu_sample()
                 walls.append(round(r["wall"], 3))
                 if diag is not None:
@@ -493,6 +498,74 @@ def main() -> None:
                 print(f"{key} failed: {e}", file=sys.stderr)
                 extras[key] = {"error": str(e)[:300]}
         return deco
+
+    # sf1 runs FIRST among the post-stop blocks: it is the most
+    # drift-sensitive measurement (10x working set) and the box slows
+    # progressively as the bench churns page cache — r5 measured 1x2
+    # median task time drifting 47 -> 133 s on identical work over the
+    # bench's ~25 minutes. Earliest window = fairest reading.
+    if sf1_path is not None:
+        @_optional("scaling_sf1")
+        def _sf1_block():
+            # r4 verdict #1: with 2 walls/level the sf1 gate was a
+            # lottery (readings 0.43..1.00). Protocol now matches the
+            # sf0.1 pair: >=3 interleaved session rounds x 3 measured
+            # walls per level (9 walls/level), 1 untimed warmup per
+            # session, plus per-run iowait/idle + task-skew diagnostics
+            # so any below-gate wall is attributable (writeback storm vs
+            # cold arenas vs real contention) instead of unexplained.
+            import statistics
+
+            sf1_walls: dict[int, list[float]] = {1: [], 4: []}
+            diag: list[dict] = []
+            for _round in range(3):
+                for n_exec in (1, 4) if _round % 2 == 0 else (4, 1):
+                    sf1_walls[n_exec] += measure_exec_config(
+                        sf1_path, n_exec, 2, warmups=1, runs=3, diag=diag
+                    )
+            med1 = statistics.median(sf1_walls[1])
+            med4 = statistics.median(sf1_walls[4])
+            extras["scaling_sf1"] = {
+                "rows": BENCH_ROWS * 10,
+                "total_tokens": int(sf1_tokens),
+                "executors_1x2_tokens_per_sec": round(sf1_tokens / min(sf1_walls[1])),
+                "executors_4x2_tokens_per_sec": round(sf1_tokens / min(sf1_walls[4])),
+                "executors_1_walls": sf1_walls[1],
+                "executors_4_walls": sf1_walls[4],
+                "efficiency_exec_1_4": round(
+                    (sf1_tokens / min(sf1_walls[4]))
+                    / (sf1_tokens / min(sf1_walls[1]))
+                    / 4.0,
+                    3,
+                ),
+                # robust companion: medians resist the best-of lottery
+                "efficiency_exec_1_4_median": round(med1 / med4 / 4.0, 3),
+                "run_diagnostics": diag,
+            }
+
+        @_optional("scaling_sf1_compute")
+        def _sf1_compute_block():
+            # attribution pair (r5): the same sf1 job with the blob
+            # write DISABLED (encode_files discard_output) — pure
+            # scan+encode. The write job's sub-linear component is
+            # first-touch fault service on ~4.7 GB of fresh output
+            # pages per run, a per-BOX kernel cost (a real cluster
+            # faults per-node); this pair is the cluster-predictive
+            # compute-scaling reading (r5 probe: 1.01 vs write 0.894
+            # in the same window, artifacts_sf1_probe_r5.json).
+            dwalls: dict[int, list[float]] = {1: [], 4: []}
+            for _round in range(2):
+                for n_exec in (1, 4) if _round % 2 == 0 else (4, 1):
+                    dwalls[n_exec] += measure_exec_config(
+                        sf1_path, n_exec, 2, warmups=1, runs=2, discard=True
+                    )
+            extras["scaling_sf1_compute"] = {
+                "executors_1_walls": dwalls[1],
+                "executors_4_walls": dwalls[4],
+                "efficiency_exec_1_4_compute": round(
+                    (min(dwalls[1]) / min(dwalls[4])) / 4.0, 3
+                ),
+            }
 
     if os.environ.get("SPARK_GRAFT_EXEC_SCALING", "1" if DO_SCALING else "0") != "0":
         @_optional("executor_scaling")
@@ -550,50 +623,6 @@ def main() -> None:
                 "jvm_vs_core_ratio_8x2_over_2x8": round(thr[(8, 2)] / thr[(2, 8)], 3),
             }
 
-    # sf1 executor pair (r3 verdict #8): the same 1x2 -> 4x2 pair at 10x
-    # the data (~2.5 GB of tokens) — cold file cache relative to the
-    # working set, 10x the row groups and splits, so the ranged-IO +
-    # split-planning path carries real weight in the measurement. Runs
-    # only for the sf0.1 driver configuration (the per-round record).
-    if sf1_path is not None:
-        @_optional("scaling_sf1")
-        def _sf1_block():
-            # r4 verdict #1: with 2 walls/level the sf1 gate was a
-            # lottery (readings 0.43..1.00). Protocol now matches the
-            # sf0.1 pair: >=3 interleaved session rounds x 3 measured
-            # walls per level (9 walls/level), 1 untimed warmup per
-            # session, plus per-run iowait/idle + task-skew diagnostics
-            # so any below-gate wall is attributable (writeback storm vs
-            # cold arenas vs real contention) instead of unexplained.
-            import statistics
-
-            sf1_walls: dict[int, list[float]] = {1: [], 4: []}
-            diag: list[dict] = []
-            for _round in range(3):
-                for n_exec in (1, 4) if _round % 2 == 0 else (4, 1):
-                    sf1_walls[n_exec] += measure_exec_config(
-                        sf1_path, n_exec, 2, warmups=1, runs=3, diag=diag
-                    )
-            med1 = statistics.median(sf1_walls[1])
-            med4 = statistics.median(sf1_walls[4])
-            extras["scaling_sf1"] = {
-                "rows": BENCH_ROWS * 10,
-                "total_tokens": int(sf1_tokens),
-                "executors_1x2_tokens_per_sec": round(sf1_tokens / min(sf1_walls[1])),
-                "executors_4x2_tokens_per_sec": round(sf1_tokens / min(sf1_walls[4])),
-                "executors_1_walls": sf1_walls[1],
-                "executors_4_walls": sf1_walls[4],
-                "efficiency_exec_1_4": round(
-                    (sf1_tokens / min(sf1_walls[4]))
-                    / (sf1_tokens / min(sf1_walls[1]))
-                    / 4.0,
-                    3,
-                ),
-                # robust companion: medians resist the best-of lottery
-                "efficiency_exec_1_4_median": round(med1 / med4 / 4.0, 3),
-                "run_diagnostics": diag,
-            }
-
     full = {
         "metric": "encode throughput (tokens/sec) + query wall times",
         "value": round(sum(results.values()), 3),
@@ -643,7 +672,13 @@ def main() -> None:
     ):
         if k in extras:
             out[k] = extras[k]
-    for k in ("scaling", "executor_scaling", "matched_total_scaling", "scaling_sf1"):
+    for k in (
+        "scaling",
+        "executor_scaling",
+        "matched_total_scaling",
+        "scaling_sf1",
+        "scaling_sf1_compute",
+    ):
         if k in extras:
             out[k] = _scalars(extras[k])
     print(json.dumps(out))
