@@ -1525,6 +1525,81 @@ ORDER BY qs.query_id
 """
 
 
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF-bucketed search vs the brute-force baseline
+    (sibling of q_ann_recall, which gates the LSH path) — both scale
+    paths now carry an explicit quality metric. Integer outputs keep the
+    oracle hash exact."""
+    bf = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    overlap = (
+        bf.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        bf.select("query_id").distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) * 10).alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+SQL_ANN_RECALL_IVF = f"""
+WITH {_SQL_QUANT_CTE},
+bf_pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_SQL_COS_DUCK} AS cos
+  FROM q a, q b
+  WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM bf_pairs) WHERE rnk <= 10),
+cent AS (SELECT vec_id AS cent_id, qe FROM q WHERE vec_id < {_IVF_LISTS}),
+cscored AS (
+  SELECT e.vec_id, c.cent_id, {_SQL_COS_QC} AS ccos
+  FROM q e, cent c),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+    FROM cscored) WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r
+    FROM cscored WHERE vec_id < 5) WHERE r <= {_IVF_PROBES}),
+cand AS (
+  SELECT DISTINCT p.query_id, x.vec_id AS neighbor_id
+  FROM probes p JOIN assign x ON p.cent_id = x.cent_id
+  WHERE p.query_id <> x.vec_id),
+rescored AS (
+  SELECT cd.query_id, cd.neighbor_id, {_SQL_COS_DUCK} AS cos
+  FROM cand cd JOIN q a ON a.vec_id = cd.query_id JOIN q b ON b.vec_id = cd.neighbor_id),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM rescored) WHERE rnk <= 10),
+overlap AS (
+  SELECT bf.query_id, COUNT(*) AS hits
+  FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+  GROUP BY bf.query_id)
+SELECT qs.query_id,
+       CAST(COALESCE(o.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(o.hits, 0) * 10 AS BIGINT) AS recall_pct
+FROM (SELECT DISTINCT query_id FROM bf) qs
+LEFT JOIN overlap o ON qs.query_id = o.query_id
+ORDER BY qs.query_id
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 vector quantization (the storage format ANN
     indexes ship at scale: 4x smaller than float32, dot products in
@@ -1935,6 +2010,85 @@ GROUP BY bench_doc ORDER BY bench_doc
 """
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus export accounting: per source, how many docs
+    survive exact dedup (keep the min doc_id per md5(text)) AND
+    benchmark decontamination (drop corpus docs sharing any distinct
+    word 5-gram with the doc_id%211 benchmark slice). Drop reasons are
+    disjoint with dup taking priority. The end-of-pipeline composition
+    of dedup_exact + contamination: at 100 TB this is a hash groupBy, a
+    gram equi-join, and two broadcast-or-shuffle-left joins — no
+    pairwise comparisons anywhere."""
+    toks = dl.tokens(SPARK)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    withh = docs.withColumn("h", F.md5("text"))
+    keep = withh.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    lab = withh.join(keep, "h").withColumn(
+        "is_dup", F.col("doc_id") != F.col("keep_id")
+    )
+    grams = (
+        docs.select("doc_id", F.expr(toks).alias("toks"))
+        .filter(F.expr("size(toks) >= 5"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"array_distinct({_gram5(SPARK, 'toks')})")).alias("gram"),
+        )
+    )
+    bench_grams = grams.filter("doc_id % 211 = 0").select("gram").distinct()
+    contaminated = (
+        grams.filter("doc_id % 211 <> 0")
+        .join(bench_grams, "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    status = lab.join(contaminated, "doc_id", "left").select(
+        "source",
+        F.when(F.col("is_dup"), F.lit("dup"))
+        .when(F.col("is_cont"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+    return (
+        status.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("status") == "kept", 1)).alias("kept_docs"),
+            F.count(F.when(F.col("status") == "dup", 1)).alias("dropped_dups"),
+            F.count(F.when(F.col("status") == "contaminated", 1)).alias(
+                "dropped_contaminated"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CLEAN_CORPUS = f"""
+WITH t AS (
+  SELECT doc_id, {dl.tokens(DUCK)} AS toks FROM documents
+), h AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+), keep AS (
+  SELECT h, MIN(doc_id) AS keep_id FROM h GROUP BY h
+), lab AS (
+  SELECT x.doc_id, x.source, x.doc_id <> k.keep_id AS is_dup
+  FROM h x JOIN keep k USING (h)
+), g AS (
+  SELECT doc_id, UNNEST(list_distinct({_gram5(DUCK, 'toks')})) AS gram
+  FROM t WHERE len(toks) >= 5
+), bg AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 211 = 0
+), cont AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 211 <> 0
+)
+SELECT lab.source,
+       CAST(SUM(CASE WHEN NOT is_dup AND cont.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dropped_dups,
+       CAST(SUM(CASE WHEN NOT is_dup AND cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped_contaminated
+FROM lab LEFT JOIN cont ON lab.doc_id = cont.doc_id
+GROUP BY lab.source ORDER BY lab.source
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # relational parity
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -1972,6 +2126,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "token_bigrams": (q_token_bigrams, SQL_TOKEN_BIGRAMS),
     "contamination": (q_contamination, SQL_CONTAMINATION),
+    "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
     # dedup
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -1984,5 +2139,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    "ann_recall_ivf": (q_ann_recall_ivf, SQL_ANN_RECALL_IVF),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
 }
