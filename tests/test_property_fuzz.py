@@ -80,3 +80,39 @@ def test_stripe_int_column(vals):
     arr = pa.array(vals, type=pa.int64())
     blob, stats = encode_column(arr)
     assert decode_column(blob, pa.int64()).equals(arr)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["sorted", "const", "rand", "desc"]),
+            st.integers(min_value=1, max_value=900),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_rlev2_segment_shapes(segs, rnd):
+    """Concatenations of sorted / constant / random / descending
+    segments — the shapes that route through every planner path of the
+    r5 one-pass literal planner (batched DIRECT runs, DELTA blob,
+    direct-tail blob, SR chains, PATCHED_BASE) in one stream."""
+    parts = []
+    for kind, m in segs:
+        base = rnd.randrange(-(10**6), 10**6)
+        if kind == "sorted":
+            parts.append(np.sort(np.array([rnd.randrange(0, 10**7) for _ in range(m)], dtype=np.int64)))
+        elif kind == "desc":
+            parts.append(-np.sort(np.array([rnd.randrange(0, 10**7) for _ in range(m)], dtype=np.int64)))
+        elif kind == "const":
+            parts.append(np.full(m, base, dtype=np.int64))
+        else:
+            a = np.array([rnd.randrange(0, 50257) for _ in range(m)], dtype=np.int64)
+            a[::97] = 10**13  # outliers -> PATCHED_BASE candidates
+            parts.append(a)
+    v = np.concatenate(parts)
+    for signed in (True, False):
+        vv = np.abs(v) if not signed else v
+        enc = rle_v2_encode(vv, signed=signed)
+        assert np.array_equal(rle_v2_decode(enc, len(vv), signed=signed), vv)
