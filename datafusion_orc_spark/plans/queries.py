@@ -1380,6 +1380,12 @@ SELECT query_id, neighbor_id, cos, rnk FROM (
 """
 
 
+# probes=2 of 8 lists. Measured cost/recall trade (r5, ann_recall_ivf
+# fixture): probes=2 -> 100/100/70/100/100; probes=3 -> identical
+# recall at +50% probed-list scan cost (query 2's missing neighbors sit
+# outside its top-3 centroid lists entirely — a coarse-quantizer limit,
+# not a probe-count one). The multi-probe LSH path (ann_lsh_topk) is
+# the gated >=90% quality path; IVF stays at the cheaper setting.
 _IVF_LISTS, _IVF_PROBES = 8, 2
 
 
