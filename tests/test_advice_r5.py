@@ -121,3 +121,28 @@ def test_ns_timestamp_floor_cast_in_distributed_scan(spark, tmp_path):
             assert row["ts"] is None
         else:
             assert row["ts"] == epoch + datetime.timedelta(microseconds=us), row
+
+
+def test_all_null_list_and_map_range_decode(tmp_path):
+    """Sibling guard to the struct fix: a pruned range whose rows hold
+    ONLY null list/map values (empty children) must decode cleanly."""
+    n = 30000
+    vals_l = [None if 10000 <= i < 20000 else list(range(i % 4)) for i in range(n)]
+    vals_m = [None if 10000 <= i < 20000 else {f"k{j}": j for j in range(i % 3)} for i in range(n)]
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "ls": pa.array(vals_l, type=pa.list_(pa.int64())),
+        "mp": pa.array(vals_m, type=pa.map_(pa.string(), pa.int64())),
+    })
+    p = str(tmp_path / "range_null_listmap.orc")
+    write_orc(t, p, stripe_rows=30000)
+    got = OrcReader(p).read(prune={"k": (12000, 12500)})
+    for k, ls, mp in zip(
+        got.column("k").to_pylist(),
+        got.column("ls").to_pylist(),
+        got.column("mp").to_pylist(),
+    ):
+        el = None if 10000 <= k < 20000 else list(range(k % 4))
+        em = None if 10000 <= k < 20000 else [(f"k{j}", j) for j in range(k % 3)]
+        assert ls == el, k
+        assert (mp if mp is None else list(mp)) == em, k
