@@ -458,6 +458,10 @@ _FSST_GEN_CACHE: dict[str, _FsstGenEntry] = {}
 # retrain anchor: after this many reuses, train fresh once so a slowly
 # drifting column re-anchors its table (cheap insurance at 1/N cost)
 _FSST_REFRESH_EVERY = 64
+# keys are namespaced per job (encode_stripe threads the job_token), so a
+# long-lived worker accumulates dead entries across jobs — bound the dict
+# by evicting insertion-order-oldest (dict preserves insertion order)
+_FSST_CACHE_MAX = 64
 
 
 def fsst_cache_clear() -> None:
@@ -524,6 +528,9 @@ def fsst_compress_column(
     if len(data) + len(tbl) > 0.95 * max(1, len(blob)):
         return None
     if cache_key is not None:
+        _FSST_GEN_CACHE.pop(cache_key, None)
+        while len(_FSST_GEN_CACHE) >= _FSST_CACHE_MAX:
+            _FSST_GEN_CACHE.pop(next(iter(_FSST_GEN_CACHE)))
         _FSST_GEN_CACHE[cache_key] = _FsstGenEntry(
             base, gens, table, len(blob) / max(1, len(data) + len(tbl))
         )

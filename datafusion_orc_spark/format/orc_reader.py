@@ -102,13 +102,15 @@ def _decimal_array(t, mantissa, scales, valid: np.ndarray, n: int) -> pa.Array:
     typ = pa.decimal128(t.precision or 38, t.scale)
     if isinstance(mantissa, np.ndarray) and (t.precision or 38) <= 18:
         adj = (int(t.scale) - scales.astype(np.int64))
+        # guard both signs explicitly: np.abs(INT64_MIN) == INT64_MIN
+        # (negative), so an adversarial mantissa would pass an abs-based
+        # check and wrap in the power-of-10 multiply below
+        bound = (10**18 - 1) // np.power(10, adj, dtype=np.int64) if adj.size else adj
         if adj.size == 0 or (
             (adj >= 0).all()
             and (adj <= 18).all()
-            and (
-                np.abs(mantissa)
-                <= (10**18 - 1) // np.power(10, adj, dtype=np.int64)
-            ).all()
+            and (mantissa <= bound).all()
+            and (mantissa >= -bound).all()
         ):
             scaled = mantissa * np.power(10, adj, dtype=np.int64)
             full = np.zeros(n, dtype=np.int64)

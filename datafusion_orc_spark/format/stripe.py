@@ -391,14 +391,21 @@ def _int_data_decode(codec: str, streams: dict[int, bytes], n: int) -> np.ndarra
 
 # ------------------------------------------------------------- encode
 
-def encode_column(arr: pa.Array | pa.ChunkedArray, name: str | None = None) -> tuple[bytes, dict]:
+def encode_column(
+    arr: pa.Array | pa.ChunkedArray,
+    name: str | None = None,
+    namespace: str | None = None,
+) -> tuple[bytes, dict]:
     """Encode one column of a stripe -> (blob, stats).
 
     Codec choice is E9 (codecs/selector.py); kernels are all vectorized.
     Unsupported types fall back to Arrow IPC (raw_ipc) so every schema
     round-trips. ``name`` keys the cross-stripe FSST generation cache
     (long-lived workers reuse one column's trained table across stripes;
-    the cache self-checks ratio and retrains on drift).
+    the cache self-checks ratio and retrains on drift); ``namespace``
+    prefixes that key with a job/table identity so same-named columns of
+    unrelated tables in one worker cannot collide (without it the key is
+    the bare name — single-table assumption).
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -463,7 +470,8 @@ def encode_column(arr: pa.Array | pa.ChunkedArray, name: str | None = None) -> t
                 (K_DATA, rle_v2_encode(idx, signed=False)),
             ], blob)
         if codec == "str_fsst":
-            res = fsst_compress_column(blob, lengths, cache_key=name)
+            ckey = None if name is None else (f"{namespace}:{name}" if namespace else name)
+            res = fsst_compress_column(blob, lengths, cache_key=ckey)
             if res is not None:
                 tbl, data = res
                 return fin("str_fsst", [
@@ -676,12 +684,18 @@ def _count_rle_values(buf: bytes) -> int:
 
 # ------------------------------------------------------------- stripe level
 
-def encode_stripe(batch: pa.RecordBatch) -> tuple[dict[str, bytes], list[dict]]:
-    """Encode a whole stripe -> ({column: blob}, per-column stats)."""
+def encode_stripe(
+    batch: pa.RecordBatch, namespace: str | None = None
+) -> tuple[dict[str, bytes], list[dict]]:
+    """Encode a whole stripe -> ({column: blob}, per-column stats).
+
+    ``namespace`` (e.g. the encode job_token) scopes the cross-stripe FSST
+    cache so unrelated tables sharing a column name (e.g. 'text') in one
+    long-lived worker never reuse each other's trained tables."""
     blobs: dict[str, bytes] = {}
     stats: list[dict] = []
     for i, name in enumerate(batch.schema.names):
-        blob, st = encode_column(batch.column(i), name=name)
+        blob, st = encode_column(batch.column(i), name=name, namespace=namespace)
         st["column"] = name
         blobs[name] = blob
         stats.append(st)

@@ -158,7 +158,7 @@ def _encode_stream(
         while table.num_rows - pos >= stripe_rows or (final and pos < table.num_rows):
             take = min(stripe_rows, table.num_rows - pos)
             stripe = table.slice(pos, take).to_batches()[0]
-            blobs, stats = encode_stripe(stripe)
+            blobs, stats = encode_stripe(stripe, namespace=f"{job_token:04x}")
             if part_id >= (1 << 16) or seq >= (1 << 24):
                 raise ValueError(
                     f"stripe_id packing overflow: part_id={part_id} (max 65535), "
