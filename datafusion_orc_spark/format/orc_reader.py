@@ -8,7 +8,7 @@ kernels from ``datafusion_orc_spark.codecs``.
 
 Scope: the encodings present in the reference's own test corpus
 (/root/reference/tests/basic/data/*.orc — SNAPPY, DIRECT_V2,
-DICTIONARY_V2, nested list/map/struct, decimal, date) plus NONE/ZLIB/
+DICTIONARY_V2, nested list/map/struct, decimal, date) plus NONE/ZLIB/LZO/
 LZ4/ZSTD compression and the v1 DIRECT/DICTIONARY (RLEv1) encodings of
 ORC 0.11 writers, plus UNION (non-null rows -> Arrow dense union,
 conformance-tested against an ORC-Java-written uniontype file; union
@@ -71,6 +71,10 @@ def decompress_stream(raw: bytes, compression: int) -> bytes:
         elif compression == 2:  # SNAPPY
             size = _snappy_uncompressed_len(chunk)
             out += pa.Codec("snappy").decompress(chunk, size).to_pybytes()
+        elif compression == 3:  # LZO1X block (no native codec: pure-py decode)
+            from datafusion_orc_spark.codecs.lzoblock import lzo1x_decompress
+
+            out += lzo1x_decompress(chunk)
         elif compression == 4:  # LZ4 block (exact size unknown: pure-py decode)
             from datafusion_orc_spark.codecs.lz4block import lz4_block_decompress
 

@@ -8,7 +8,7 @@ read back bit-identically by the Apache ORC C++ reader (pyarrow.orc) —
 i.e. by the same implementation family the reference delegates decoding
 to (orc-rust mirrors the same spec).
 
-Scope: NONE/SNAPPY/ZLIB/LZ4/ZSTD compression (every stream, stripe
+Scope: NONE/SNAPPY/ZLIB/LZO/LZ4/ZSTD compression (every stream, stripe
 footer and file footer chunk-framed with the 3-byte (len<<1)|isOriginal
 header — the corpus the reference ships is SNAPPY), DICTIONARY_V2 with
 SORTED symbol tables for strings (ORC writer heuristic: dictionary when
@@ -42,7 +42,7 @@ from datafusion_orc_spark.format import orc_proto as proto
 MAGIC = b"ORC"
 
 # postscript CompressionKind values (ORC v1 spec)
-_COMPRESSION_KINDS = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
+_COMPRESSION_KINDS = {"none": 0, "zlib": 1, "snappy": 2, "lzo": 3, "lz4": 4, "zstd": 5}
 
 # ORC's default dictionary heuristic (orc.dictionary.key.threshold=0.8):
 # dictionary-encode a string column when distinct/total <= this ratio
@@ -55,6 +55,10 @@ def _compress_chunk(chunk: bytes, kind: int) -> bytes:
         return co.compress(chunk) + co.flush()
     if kind == 2:  # SNAPPY
         return pa.Codec("snappy").compress(chunk).to_pybytes()
+    if kind == 3:  # LZO1X block (pure-py; no native codec in this env)
+        from datafusion_orc_spark.codecs.lzoblock import lzo1x_compress
+
+        return lzo1x_compress(chunk)
     if kind == 4:  # LZ4 (block format)
         return pa.Codec("lz4_raw").compress(chunk).to_pybytes()
     if kind == 5:  # ZSTD (framed)
@@ -588,7 +592,7 @@ def write_orc(
     (with maximumLength) across a read-modify-write of a foreign file
     instead of silently widening to STRING (see _reorder_root_first).
 
-    ``compression``: none|snappy|zlib|lz4|zstd — applied per-stream (and
+    ``compression``: none|snappy|zlib|lzo|lz4|zstd — applied per-stream (and
     to stripe/file footers) in <=block_size chunks, matching the corpus
     the reference ships (SNAPPY, block 262144).
 

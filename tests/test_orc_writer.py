@@ -81,7 +81,7 @@ def test_compressed_writes_read_back_by_orc_cxx(tmp_path):
     chunk-framed) must be read bit-identically by the ORC C++ reader AND
     by our own reader."""
     tbl = _f1_table(3000)
-    for comp in ("snappy", "zlib", "zstd", "lz4"):
+    for comp in ("snappy", "zlib", "zstd", "lz4", "lzo"):
         path = str(tmp_path / f"ours_{comp}.orc")
         write_orc(tbl, path, stripe_rows=1000, compression=comp)
         got = pyarrow.orc.ORCFile(path).read()
