@@ -39,6 +39,7 @@ _API = {
     "decode_table": "datafusion_orc_spark.operators.encode",
     "verify_roundtrip": "datafusion_orc_spark.operators.encode",
     "StripeBlobDataSource": "datafusion_orc_spark.sources.stripeblob_datasource",
+    "read_stripeblob": "datafusion_orc_spark.sources.stripeblob_datasource",
 }
 
 

@@ -137,19 +137,56 @@ def _decimal_array(t, mantissa, scales, valid: np.ndarray, n: int) -> pa.Array:
 
 
 class _StripeReader:
-    def __init__(self, orc: "OrcReader", info: proto.StripeInformation):
+    def __init__(
+        self,
+        orc: "OrcReader",
+        info: proto.StripeInformation,
+        needed_ids: set[int] | None = None,
+    ):
+        """``needed_ids``: ORC type ids whose streams this reader will
+        touch (a projected read). When given, column pruning reaches the
+        IO layer — only the stripe footer plus the needed streams' byte
+        ranges are fetched (adjacent needed ranges coalesce into one
+        ranged read); unprojected columns' streams are NEVER read
+        (ref: physical_exec.rs:69-78 projects before opening streams).
+        None = unprojected: one whole-stripe ranged read (fewer
+        round-trips; the right call when decoding every column)."""
         self.orc = orc
         self.info = info
-        raw = orc._read(info.offset, info.index_length + info.data_length + info.footer_length)
-        footer = proto.parse_stripe_footer(
-            decompress_stream(raw[info.index_length + info.data_length :], orc.postscript.compression)
-        )
+        comp = orc.postscript.compression
+        if needed_ids is None:
+            raw = orc._read(info.offset, info.index_length + info.data_length + info.footer_length)
+            footer = proto.parse_stripe_footer(
+                decompress_stream(raw[info.index_length + info.data_length :], comp)
+            )
+            self.encodings = footer.columns
+            self.streams: dict[tuple[int, int], bytes] = {}
+            off = 0
+            for s in footer.streams:
+                self.streams[(s.column, s.kind)] = raw[off : off + s.length]
+                off += s.length
+            return
+        fraw = orc._read(info.offset + info.index_length + info.data_length, info.footer_length)
+        footer = proto.parse_stripe_footer(decompress_stream(fraw, comp))
         self.encodings = footer.columns
-        self.streams: dict[tuple[int, int], bytes] = {}
+        self.streams = {}
+        wanted: list[tuple[int, int, tuple[int, int]]] = []  # (start, end, key)
         off = 0
         for s in footer.streams:
-            self.streams[(s.column, s.kind)] = raw[off : off + s.length]
+            if s.column in needed_ids:
+                wanted.append((off, off + s.length, (s.column, s.kind)))
             off += s.length
+        # coalesce byte-adjacent needed streams into single ranged reads
+        i = 0
+        while i < len(wanted):
+            j = i
+            while j + 1 < len(wanted) and wanted[j + 1][0] == wanted[j][1]:
+                j += 1
+            start, end = wanted[i][0], wanted[j][1]
+            raw = orc._read(info.offset + start, end - start)
+            for st, en, key in wanted[i : j + 1]:
+                self.streams[key] = raw[st - start : en - start]
+            i = j + 1
 
     def stream(self, column: int, kind: int) -> bytes:
         raw = self.streams.get((column, kind))
@@ -620,6 +657,15 @@ class OrcReader:
                 )
         return self._stripe_stats
 
+    def _subtree_ids(self, col: int) -> set[int]:
+        """All ORC type ids in the subtree rooted at ``col`` (pre-order
+        tree: nested LIST/MAP/STRUCT/UNION children carry their own
+        streams, so a projected read must fetch the whole subtree)."""
+        out = {col}
+        for sub in self.footer.types[col].subtypes or ():
+            out |= self._subtree_ids(sub)
+        return out
+
     def schema(self) -> pa.Schema:
         """ORC type tree -> Arrow schema (ref: file_format.rs:50-52)."""
         root = self.footer.types[0]
@@ -684,6 +730,13 @@ class OrcReader:
         names = root.field_names
         sel = list(range(len(names))) if columns is None else [names.index(c) for c in columns]
         out_names = [names[i] for i in sel]
+        # projection reaches IO: fetch only the projected subtrees'
+        # streams (plus the root's), never the whole stripe range
+        needed_ids = None
+        if columns is not None and len(sel) < len(names):
+            needed_ids = {0}
+            for i in sel:
+                needed_ids |= self._subtree_ids(root.subtypes[i])
         idxs = range(len(self.footer.stripes)) if stripes is None else stripes
         prune_ids = (
             {root.subtypes[names.index(c)]: b for c, b in prune.items() if c in names}
@@ -691,6 +744,10 @@ class OrcReader:
             else {}
         )
         sstats = self.stripe_statistics() if prune_ids else []
+        if needed_ids is not None and prune_ids:
+            # prune columns may sit outside the projection; their
+            # ROW_INDEX streams must still be fetched for group pruning
+            needed_ids = needed_ids | set(prune_ids)
         stride = self.footer.row_index_stride
         for si in idxs:
             info = self.footer.stripes[si]
@@ -703,7 +760,7 @@ class OrcReader:
                     for col, (lo, hi) in prune_ids.items()
                 ):
                     continue  # whole stripe provably misses: zero reads
-            sr = _StripeReader(self, info)
+            sr = _StripeReader(self, info, needed_ids)
             row_ranges = None
             if prune_ids and stride:
                 from datafusion_orc_spark.format.orc_index import (

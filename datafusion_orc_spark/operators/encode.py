@@ -221,6 +221,7 @@ def encode_files(
     row_groups_per_split: int = 1,
     parallelism: int | None = None,
     discard_output: bool = False,
+    recycle_output: bool = False,
 ) -> DataFrame:
     """Parquet files -> blob table WITHOUT moving row data through the JVM.
 
@@ -240,6 +241,22 @@ def encode_files(
     encoded in-task and dropped (stats rows only, nothing written) —
     the pure scan+encode compute probe that isolates engine scaling
     from the output path's page-cache behavior.
+
+    ``recycle_output=True`` (local filesystems only): overwrite existing
+    part files IN PLACE instead of write-tmp-then-rename. Part names are
+    deterministic per (partition, split), so an idempotent re-run of the
+    same job — a checkpoint resume, a retried chunk, a benchmark loop —
+    rewrites the same paths; overwriting keeps the output's page-cache
+    pages warm rather than allocating fresh ones (on memory-ballooned
+    hosts, first-touch page allocation can be ~50x slower than an
+    in-place store — measured 31 s vs 0.3 s per GiB on the dev box).
+    Stale files from a previous run at higher parallelism are removed
+    (driver-side for orphaned partition ids, task-side for orphaned
+    split indices), so the directory's final contents are identical to
+    a fresh write. Trade-off: a reader scanning the directory MID-WRITE
+    can observe a half-written file (the rename path never exposes one);
+    use the default for live-published tables, recycle for owned
+    re-run/benchmark output directories.
     """
     import uuid as _uuid
 
@@ -299,6 +316,28 @@ def encode_files(
         "path string, rg_start int, n_rg int",
     )
     _ensure_workers_can_import(sdf)
+    if recycle_output and output_dir is not None:
+        # driver-side stale cleanup: a previous run at HIGHER parallelism
+        # left part files for partition ids no task of this run owns —
+        # remove them now so the recycled directory's final contents
+        # match a fresh write (tasks clean their own split indices)
+        import glob as _glob
+        import os as _os
+
+        from datafusion_orc_spark.sources.objectstore import LocalStore as _LS
+
+        o_store, o_path = resolve_store(output_dir)
+        if isinstance(o_store, _LS):
+            for p in _glob.glob(f"{o_path}/part-*.parquet") + _glob.glob(
+                f"{o_path}/.part-*.parquet.tmp"
+            ):
+                base = _os.path.basename(p).lstrip(".")
+                try:
+                    pid = int(base.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                if pid >= n_parts or p.endswith(".tmp"):
+                    _os.unlink(p)
     stats_schema = StructType([f for f in BLOB_SCHEMA.fields if f.name != "data"])
 
     def enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -352,7 +391,23 @@ def encode_files(
                     name = f"part-{part_id:05d}-{k:03d}.parquet"
                     # blob bytes are already entropy-packed: snappy on top
                     # wastes CPU for ~0% gain
-                    if isinstance(out_store, LocalStore):
+                    if recycle_output and isinstance(out_store, LocalStore):
+                        # in-place overwrite: reuse the existing file's
+                        # already-faulted page-cache pages (see docstring)
+                        import os as _os
+
+                        full = f"{out_path}/{name}"
+                        if _os.path.exists(full):
+                            with open(full, "r+b") as fh:
+                                pq.write_table(
+                                    out, fh, row_group_size=1 << 20, compression="none"
+                                )
+                                fh.truncate()
+                        else:
+                            pq.write_table(
+                                out, full, row_group_size=1 << 20, compression="none"
+                            )
+                    elif isinstance(out_store, LocalStore):
                         # local: write-then-rename for atomic visibility
                         pq.write_table(
                             out, f"{out_path}/.{name}.tmp",
@@ -365,6 +420,21 @@ def encode_files(
                             pq.write_table(out, fh, row_group_size=1 << 20, compression="none")
                     yield from out.drop_columns("data").to_batches()
                 k += 1
+        if recycle_output and out_store is not None and isinstance(out_store, LocalStore):
+            # task-side stale cleanup: this partition wrote splits
+            # 0..k-1; files with a higher split index are leftovers from
+            # a previous run whose split list was longer — remove them
+            # so the directory matches a fresh write exactly
+            import glob as _glob
+            import os as _os
+
+            for p in _glob.glob(f"{out_path}/part-{part_id:05d}-*.parquet"):
+                try:
+                    kk = int(p.rsplit("-", 1)[1].split(".")[0])
+                except ValueError:
+                    continue
+                if kk >= k:
+                    _os.unlink(p)
 
     return sdf.mapInArrow(
         enc, BLOB_SCHEMA if output_dir is None and not discard_output else stats_schema

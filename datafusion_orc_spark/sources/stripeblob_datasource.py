@@ -211,3 +211,23 @@ def register(spark) -> None:
     _ensure_workers_can_import(spark.range(1))
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(StripeBlobDataSource)
+
+
+def read_stripeblob(spark, path: str, columns: list[str] | None = None):
+    """Projection-ergonomic sugar over ``spark.read.format("stripeblob")``.
+
+    Spark's Python DataSource API forwards filters (pushFilters) but not
+    column pruning, so a bare ``.load(path).select("a")`` decodes every
+    column and lets Spark drop the rest AFTER the python worker paid the
+    decode. This helper derives the ``columns`` option from the caller's
+    projection list so only the projected blob rows are decoded (and the
+    result schema is exactly ``columns`` in order). Registers the data
+    source if needed; until Spark grows a pruneColumns hook this is the
+    pruned path for the DataSource sugar (ROADMAP #4 — users of
+    ``decode_table`` / ``read_orc_distributed`` get pruning automatically).
+    """
+    register(spark)
+    r = spark.read.format("stripeblob")
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    return r.load(path)

@@ -44,15 +44,14 @@ def main() -> None:
     from datafusion_orc_spark.operators.encode import encode_files
 
     def run(lspark, discard: bool, par: int) -> float:
-        import shutil
-
-        out = None if discard else bench.BLOB_OUT
-        if out:
-            shutil.rmtree(out, ignore_errors=True)
+        # recycle mode, per-level dirs — the same write path bench.py
+        # measures (in-place overwrite of warm part files; r6)
+        out = None if discard else bench.blob_out(par)
         t0 = time.time()
         encode_files(
             lspark, sf1_path, stripe_rows=16384,
             output_dir=out, parallelism=par, discard_output=discard,
+            recycle_output=not discard,
         ).collect()
         wall = time.time() - t0
         os.sync()

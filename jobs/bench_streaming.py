@@ -1,19 +1,26 @@
 #!/usr/bin/env python
-"""Streaming decode latency bench (r4 verdict task #7).
+"""Streaming decode bench: latency AND throughput (r5 verdict task #3).
 
-Measures the watch-blob-dir -> incremental decode stream at sf0.1: the
-full token table is encoded to blob part files once (untimed), then a
-single availableNow stream with maxFilesPerTrigger slices them into
-micro-batches; each batch's decode+write wall comes from the stream's
-own lineage records (streaming/incremental.py start_incremental_decode).
+The watch-blob-dir -> incremental decode stream at sf0.1: the full token
+table is encoded to blob part files once (untimed), then one availableNow
+stream per batch-size level slices them into micro-batches; each batch's
+decode+write wall comes from the stream's own lineage records
+(streaming/incremental.py start_incremental_decode).
 
-Prints one JSON line with the per-micro-batch wall distribution and
-rows/s. Run from /root/repo:
+r5 measured a single files-per-trigger=4 level and found ~95% of each
+2.5 s micro-batch wall is fixed trigger overhead (task launch + listing +
+plan), i.e. 11.3 k rows/s end-to-end at sf0.1 — a latency reading, not a
+throughput one. This version SWEEPS the batch size (the knob a real
+deployment turns to trade latency for throughput) so both ends of the
+curve are on record: small batches bound per-event latency, large batches
+amortize the fixed overhead toward the batch decode path's rate.
+
+Prints one JSON line with a per-level table. Run from /root/repo:
 
     python jobs/bench_streaming.py
 
 Env: SPARK_GRAFT_BENCH_ROWS (default 240000 = the sf0.1-scale table),
-SPARK_GRAFT_STREAM_FILES_PER_TRIGGER (default 4).
+SPARK_GRAFT_STREAM_SIZES (default "4,16,0"; 0 = all files in one batch).
 """
 
 from __future__ import annotations
@@ -31,26 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402  (pins allocators before the JVM spawns)
 
 
-def main() -> None:
-    per_trigger = int(os.environ.get("SPARK_GRAFT_STREAM_FILES_PER_TRIGGER", "4"))
-    spark = bench.build_session(bench.CPUS)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    tokens_path = bench.materialize_tokens(spark)
-    schema = spark.read.parquet(tokens_path).schema
-
-    # one untimed bulk encode produces the blob files the stream watches
-    from datafusion_orc_spark.operators.encode import encode_files
-    from datafusion_orc_spark.streaming.incremental import start_incremental_decode
-
-    blob_dir = "/tmp/spark_graft_stream_blobs"
+def run_level(spark, schema, blob_dir: str, per_trigger: int) -> dict:
     out_dir = "/tmp/spark_graft_stream_out"
     ckpt_dir = "/tmp/spark_graft_stream_ckpt"
-    for d in (blob_dir, out_dir, ckpt_dir):
+    for d in (out_dir, ckpt_dir):
         shutil.rmtree(d, ignore_errors=True)
-    encode_files(spark, tokens_path, stripe_rows=16384, output_dir=blob_dir).collect()
-    n_files = len(glob.glob(f"{blob_dir}/**/*.parquet", recursive=True))
-    os.sync()
+
+    from datafusion_orc_spark.streaming.incremental import start_incremental_decode
 
     t0 = time.time()
     q = start_incremental_decode(
@@ -59,7 +53,7 @@ def main() -> None:
         schema,
         out_dir,
         ckpt_dir,
-        max_files_per_trigger=per_trigger,
+        max_files_per_trigger=per_trigger or None,
     )
     q.awaitTermination()
     stream_wall = round(time.time() - t0, 3)
@@ -72,12 +66,8 @@ def main() -> None:
     walls = [d["wall_sec"] for d in lineage]
     rows = [d["out_rows"] for d in lineage]
     total_rows = sum(rows)
-    out = {
-        "metric": "streaming decode micro-batch wall (blob files -> rows)",
-        "unit": "sec",
-        "sf": bench.SF_DIR.rstrip("/").split("sf")[-1],
-        "blob_files": n_files,
-        "files_per_trigger": per_trigger,
+    return {
+        "files_per_trigger": per_trigger or "all",
         "n_batches": len(walls),
         "batch_walls": walls,
         "batch_rows": rows,
@@ -85,9 +75,48 @@ def main() -> None:
         "wall_median": round(statistics.median(walls), 3),
         "wall_p90": round(sorted(walls)[int(0.9 * (len(walls) - 1))], 3),
         "wall_max": max(walls),
-        "rows_per_sec_overall": round(total_rows / sum(walls)),
         "total_rows": total_rows,
+        # rows/s over the summed in-batch walls (decode+write only) and
+        # end-to-end (includes trigger scheduling gaps) — the gap between
+        # them IS the fixed per-trigger overhead
+        "rows_per_sec_batch_walls": round(total_rows / sum(walls)),
+        "rows_per_sec_end_to_end": round(total_rows / stream_wall),
         "stream_wall_end_to_end": stream_wall,
+    }
+
+
+def main() -> None:
+    sizes = [
+        int(s)
+        for s in os.environ.get("SPARK_GRAFT_STREAM_SIZES", "4,16,0").split(",")
+    ]
+    spark = bench.build_session(bench.CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tokens_path = bench.materialize_tokens(spark)
+    schema = spark.read.parquet(tokens_path).schema
+
+    # one untimed bulk encode produces the blob files every level watches
+    from datafusion_orc_spark.operators.encode import encode_files
+
+    blob_dir = "/tmp/spark_graft_stream_blobs"
+    shutil.rmtree(blob_dir, ignore_errors=True)
+    encode_files(spark, tokens_path, stripe_rows=16384, output_dir=blob_dir).collect()
+    n_files = len(glob.glob(f"{blob_dir}/**/*.parquet", recursive=True))
+    os.sync()
+
+    # warmup: one throwaway single-batch stream faults the decode working
+    # set (same ~50x first-touch penalty as the batch path) so level walls
+    # measure the stream, not the arena fault storm
+    run_level(spark, schema, blob_dir, 0)
+
+    levels = [run_level(spark, schema, blob_dir, sz) for sz in sizes]
+    out = {
+        "metric": "streaming decode micro-batch walls + throughput sweep",
+        "unit": "sec",
+        "sf": bench.SF_DIR.rstrip("/").split("sf")[-1],
+        "blob_files": n_files,
+        "levels": levels,
     }
     print(json.dumps(out))
     spark.stop()

@@ -74,3 +74,18 @@ def test_datasource_reads_encode_files_job_output(spark, tmp_path):
     a = df.agg(F.sum("l_quantity"), F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
     b = dec.agg(F.sum("l_quantity"), F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
     assert list(a) == list(b)
+
+
+def test_read_stripeblob_helper_projects(spark, encoded_dir):
+    """read_stripeblob derives .option('columns', ...) from a column
+    list: result schema is exactly the projection (in order) and values
+    match the source (ROADMAP #4 ergonomics until Spark forwards column
+    pruning into Python DataSources)."""
+    from datafusion_orc_spark import read_stripeblob
+
+    seqs = tokenized_sequences(spark, SF_DIR)
+    df = read_stripeblob(spark, encoded_dir, columns=["doc_id", "n_tok"])
+    assert df.columns == ["doc_id", "n_tok"]
+    a = df.agg(F.sum("n_tok"), F.countDistinct("doc_id")).collect()[0]
+    b = seqs.agg(F.sum("n_tok"), F.countDistinct("doc_id")).collect()[0]
+    assert list(a) == list(b)

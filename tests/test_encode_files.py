@@ -86,3 +86,53 @@ def test_encode_files_discard_output(spark):
     a = d.agg(F.sum("n_rows"), F.sum("enc_bytes"), F.count(F.lit(1))).collect()[0]
     b = w.agg(F.sum("n_rows"), F.sum("enc_bytes"), F.count(F.lit(1))).collect()[0]
     assert list(a) == list(b)
+
+
+def test_encode_files_recycle_output(spark, tmp_path):
+    """recycle_output=True overwrites part files in place across re-runs
+    (warm page-cache reuse) and leaves the directory byte-equivalent to
+    a fresh write — including after the parallelism DROPS, which orphans
+    both higher split indices (task-side cleanup) and higher partition
+    ids (driver-side cleanup)."""
+    import os
+
+    df = spark.read.parquet(SRC)
+    out = str(tmp_path / "blobs")
+    exp = df.agg(F.sum("l_quantity"), F.sum("l_orderkey"), F.count(F.lit(1))).collect()[0]
+
+    def run(parallelism):
+        encode_files(
+            spark, SRC, stripe_rows=2000, output_dir=out,
+            parallelism=parallelism, recycle_output=True, job_token=5,
+        ).collect()
+        return sorted(
+            (os.path.basename(p), os.path.getsize(p))
+            for p in glob.glob(f"{out}/part-*.parquet")
+        )
+
+    files_4 = run(4)
+    inodes_4 = {p: os.stat(f"{out}/{p}").st_ino for p, _ in files_4}
+    # identical re-run: same names+sizes, same inodes (in-place, no rename)
+    files_4b = run(4)
+    assert files_4b == files_4
+    assert {p: os.stat(f"{out}/{p}").st_ino for p, _ in files_4b} == inodes_4
+    dec = decode_table(spark.read.parquet(out), None, df.schema, shuffle=True)
+    assert list(dec.agg(F.sum("l_quantity"), F.sum("l_orderkey"), F.count(F.lit(1))).collect()[0]) == list(exp)
+
+    # drop parallelism: stale part ids/splits from the 4-way run must go
+    files_2 = run(2)
+    names_2 = {p for p, _ in files_2}
+    assert all(int(p.split("-")[1]) < 2 for p in names_2), names_2
+    dec2 = decode_table(spark.read.parquet(out), None, df.schema, shuffle=True)
+    assert list(dec2.agg(F.sum("l_quantity"), F.sum("l_orderkey"), F.count(F.lit(1))).collect()[0]) == list(exp)
+
+    # and a fresh (non-recycled) 2-way write produces the same contents
+    fresh = str(tmp_path / "fresh")
+    encode_files(
+        spark, SRC, stripe_rows=2000, output_dir=fresh, parallelism=2, job_token=5
+    ).collect()
+    fresh_files = sorted(
+        (os.path.basename(p), os.path.getsize(p))
+        for p in glob.glob(f"{fresh}/part-*.parquet")
+    )
+    assert fresh_files == files_2

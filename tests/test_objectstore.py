@@ -204,3 +204,38 @@ def test_read_orc_distributed_accepts_directory(spark, tmp_path):
         write_orc(t, str(tmp_path / f"f{i}.orc"), stripe_rows=64)
     df = read_orc_distributed(spark, str(tmp_path))
     assert df.count() == 200
+
+
+def test_projected_read_skips_unprojected_streams():
+    """Column pruning reaches the IO layer: a projected iter_stripes
+    fetches only the stripe footer + the projected column's stream byte
+    ranges (physical_exec.rs:69-78 projects before opening streams).
+    The wide column 'b' dominates stripe bytes; reading only 'a' must
+    read far fewer data-region bytes than the full stripe span."""
+    from datafusion_orc_spark.format.orc_reader import OrcReader
+
+    uri = _write_orc_to_memory(n=20_000, stripe_rows=10_000)
+    st = MemoryStore()
+    fsize = st.size(uri)
+
+    # full unprojected read: baseline data-region bytes
+    r = OrcReader(uri, opener=StoreOpener(st))
+    full = pa.Table.from_batches(list(r.iter_stripes()))
+    MemoryStore.read_log[uri].clear()
+
+    r2 = OrcReader(uri, opener=StoreOpener(st))
+    got = pa.Table.from_batches(list(r2.iter_stripes(columns=["a"])))
+    assert got.column_names == ["a"]
+    assert got.column("a").to_pylist() == full.column("a").to_pylist()
+    log = MemoryStore.read_log[uri]
+    # 'a' is int64 (wider than b's int32 but b is modulo-97 so RLE-small);
+    # the hard assertion: total bytes fetched < 85% of file, and no
+    # single read spans a whole stripe's (index+data) region
+    total = sum(ln for _off, ln in log)
+    assert total < 0.85 * fsize, (total, fsize)
+    last = r2.footer.stripes[-1]
+    stripes_end = last.offset + last.index_length + last.data_length + last.footer_length
+    data_reads = [(off, ln) for off, ln in log if off + ln <= stripes_end]
+    stripe_span = r2.footer.stripes[0].index_length + r2.footer.stripes[0].data_length
+    assert data_reads, log
+    assert all(ln < stripe_span for _off, ln in data_reads), (data_reads, stripe_span)
