@@ -105,6 +105,7 @@ LIST, MAP, STRUCT, UNION, DECIMAL, DATE, VARCHAR, CHAR, TIMESTAMP_INSTANT = rang
 
 # Stream.Kind enum values
 S_PRESENT, S_DATA, S_LENGTH, S_DICTIONARY_DATA, S_DICTIONARY_COUNT, S_SECONDARY, S_ROW_INDEX = range(7)
+S_BLOOM_FILTER, S_BLOOM_FILTER_UTF8 = 7, 8  # row-group bloom filter index streams
 
 # ColumnEncoding.Kind enum values
 E_DIRECT, E_DICTIONARY, E_DIRECT_V2, E_DICTIONARY_V2 = range(4)

@@ -21,6 +21,7 @@ to ORC-C++-written streams).
 
 from __future__ import annotations
 
+import datetime as _dt
 import decimal
 import zlib
 from decimal import Decimal
@@ -666,6 +667,59 @@ class OrcReader:
             out |= self._subtree_ids(sub)
         return out
 
+    _BLOOM_KIND_BY_TYPE = {
+        proto.STRING: "bytes",
+        proto.VARCHAR: "bytes",
+        proto.CHAR: "bytes",
+        proto.BINARY: "bytes",
+        proto.BYTE: "int",
+        proto.SHORT: "int",
+        proto.INT: "int",
+        proto.LONG: "int",
+        proto.DATE: "int",
+        proto.FLOAT: "float",
+        proto.DOUBLE: "float",
+    }
+
+    def _bloom_surviving_groups(
+        self,
+        sr: "_StripeReader",
+        prune_ids: dict[int, tuple],
+        groups: list[int] | None,
+        n_groups: int,
+    ) -> list[int] | None:
+        """Intersect stats-surviving ``groups`` (None = all) with each
+        point predicate's bloom filter verdicts. Conservative: columns
+        without a bloom stream, non-point predicates, and unhashable
+        type kinds pass through untouched."""
+        from datafusion_orc_spark.codecs.bloom import (
+            bloom_might_contain,
+            hash_for_value,
+            parse_bloom_index,
+        )
+
+        for col, (lo, hi) in prune_ids.items():
+            if lo is None or hi is None or lo != hi:
+                continue
+            if not sr.has_stream(col, proto.S_BLOOM_FILTER_UTF8):
+                continue
+            hkind = self._BLOOM_KIND_BY_TYPE.get(self.footer.types[col].kind)
+            if hkind is None:
+                continue
+            val = lo
+            if self.footer.types[col].kind == proto.DATE and hasattr(val, "toordinal"):
+                val = (val - _dt.date(1970, 1, 1)).days
+            filters = parse_bloom_index(sr.stream(col, proto.S_BLOOM_FILTER_UTF8))
+            h = hash_for_value(val, hkind)
+            cand = range(n_groups) if groups is None else groups
+            groups = [
+                g
+                for g in cand
+                if g >= len(filters)
+                or bloom_might_contain(filters[g][0], filters[g][1], h)
+            ]
+        return groups
+
     def schema(self) -> pa.Schema:
         """ORC type tree -> Arrow schema (ref: file_format.rs:50-52)."""
         root = self.footer.types[0]
@@ -774,6 +828,17 @@ class OrcReader:
                     if sr.has_stream(col, proto.S_ROW_INDEX)
                 }
                 groups = surviving_row_groups(idx, prune_ids)
+                n_groups_all = -(-info.number_of_rows // stride)
+                if groups != []:
+                    # POINT predicates (lo == hi) additionally consult the
+                    # column's bloom filter index when the writer emitted
+                    # one (BLOOM_FILTER_UTF8): min/max stats cannot
+                    # discriminate a point inside a wide range, the bloom
+                    # can — groups whose filter proves absence drop here
+                    # without decoding a value
+                    groups = self._bloom_surviving_groups(
+                        sr, prune_ids, groups, n_groups_all
+                    )
                 if groups == []:
                     continue
                 if groups is not None:

@@ -584,6 +584,8 @@ def write_orc(
     block_size: int = 262144,
     row_index_stride: int | None = None,
     string_kinds: dict[str, tuple[str, int]] | None = None,
+    bloom_filter_columns: list[str] | None = None,
+    bloom_filter_fpp: float = 0.05,
 ) -> None:
     """Write an Arrow table as an ORC v1 file.
 
@@ -605,6 +607,17 @@ def write_orc(
     the index. Per-stripe + file-level ColumnStatistics are always
     written (footer field 7 + the Metadata section), enabling stats-only
     answers (e.g. Spark's ORC aggregate pushdown) without touching rows.
+
+    ``bloom_filter_columns``: top-level string/binary/int/date/float
+    columns that get a BLOOM_FILTER_UTF8 index stream (spec "Bloom
+    Filter Index"): one filter per row group, sized for
+    ``row_index_stride`` entries at ``bloom_filter_fpp``, hashed with
+    the spec's Murmur3-64 (strings, seed 104729) / Thomas Wang mix
+    (ints, IEEE-754 bits for floats) so ORC C++/Java readers can use
+    them. Our reader consults them for POINT predicates (prune lo==hi)
+    where min/max stats cannot discriminate — the 100-TB point-lookup
+    path (codecs/bloom.py; beyond the reference, whose scan machinery
+    stubs stats entirely, file_format.rs:108-116).
     """
     comp = _COMPRESSION_KINDS[compression.lower()]
     table = table.combine_chunks()
@@ -622,6 +635,23 @@ def write_orc(
         row_index_stride = 10000  # ORC default; multiple row groups/stripe
     # pre-order ORC type ids, root struct = 0
     types, _arrow_types = _reorder_root_first(table.schema, string_kinds)
+
+    bloom_ids: dict[int, str] = {}  # ORC column id -> hash kind
+    if bloom_filter_columns:
+        by_name: dict[str, tuple[int, pa.DataType]] = {}
+        nid = 1
+        for f in table.schema:
+            by_name[f.name] = (nid, f.type)
+            nid += _type_width(f.type)
+        for cname in bloom_filter_columns:
+            cid, ctyp = by_name[cname]
+            hkind = _BLOOM_HASH_KINDS.get(ctyp)
+            if hkind is None:
+                raise TypeError(
+                    f"bloom_filter_columns[{cname!r}]: no ORC bloom hash "
+                    f"for type {ctyp} (string/binary/int/date/float only)"
+                )
+            bloom_ids[cid] = hkind
 
     out = bytearray(MAGIC)
     stripe_infos: list[bytes] = []
@@ -714,6 +744,33 @@ def write_orc(
                 ri = compress_stream(body, comp, block_size)
                 index_meta.append((col_id, proto.S_ROW_INDEX, len(ri)))
                 index_bytes.append(ri)
+        if row_index_stride and bloom_ids:
+            from datafusion_orc_spark.codecs.bloom import (
+                bloom_build,
+                optimal_params,
+                serialize_bloom_index,
+            )
+
+            # sized for the stride (not each group's actual count) so k
+            # is constant per column — matches ORC writer behavior
+            m_bits, n_hash = optimal_params(row_index_stride, bloom_filter_fpp)
+            for col_id, hkind in bloom_ids.items():
+                arr_b, typ_b, gst = col_arrays[col_id]
+                gb_b = [int(g) for g in gst] + [len(arr_b)]
+                filters = [
+                    (
+                        bloom_build(
+                            _bloom_group_hashes(arr_b, typ_b, a, b, hkind),
+                            m_bits,
+                            n_hash,
+                        ),
+                        n_hash,
+                    )
+                    for a, b in zip(gb_b[:-1], gb_b[1:])
+                ]
+                bb = compress_stream(serialize_bloom_index(filters), comp, block_size)
+                index_meta.append((col_id, proto.S_BLOOM_FILTER_UTF8, len(bb)))
+                index_bytes.append(bb)
         index_len = sum(len(b) for b in index_bytes)
         data_len = sum(len(b) for b in data_bytes)
         for b in index_bytes:
@@ -798,6 +855,45 @@ def _type_width(typ: pa.DataType) -> int:
     if pa.types.is_union(typ):
         return 1 + sum(_type_width(typ.field(i).type) for i in range(typ.num_fields))
     return 1
+
+
+_BLOOM_HASH_KINDS = {
+    pa.string(): "bytes",
+    pa.binary(): "bytes",
+    pa.large_string(): "bytes",
+    pa.int8(): "int",
+    pa.int16(): "int",
+    pa.int32(): "int",
+    pa.int64(): "int",
+    pa.date32(): "int",
+    pa.float32(): "float",
+    pa.float64(): "float",
+}
+
+
+def _bloom_group_hashes(arr, typ: pa.DataType, lo: int, hi: int, hkind: str) -> np.ndarray:
+    """uint64 bloom hashes of one row group's NON-NULL values, hashed
+    per the ORC spec (Murmur3-64 of utf8 bytes / Wang mix of int64)."""
+    from datafusion_orc_spark.codecs.bloom import murmur3_hash64, wang_hash64
+
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    v = a.slice(lo, hi - lo).drop_null()
+    if len(v) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if hkind == "bytes":
+        v = v.cast(pa.large_binary())
+        offs = np.frombuffer(
+            v.buffers()[1], dtype="<i8", count=len(v) + 1, offset=v.offset * 8
+        ).astype(np.int64)
+        data = np.frombuffer(v.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        return murmur3_hash64(data, offs - offs[0])
+    if hkind == "float":
+        x = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return wang_hash64(np.ascontiguousarray(x).view(np.uint64))
+    if typ == pa.date32():
+        v = v.cast(pa.int32())
+    x = v.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+    return wang_hash64(x.view(np.uint64))
 
 
 def _reorder_root_first(
