@@ -72,6 +72,7 @@ def start_incremental_decode(
     where: str | None = None,
     trigger_seconds: int | None = None,
     max_files_per_trigger: int | None = None,
+    sink: str = "parquet",
 ):
     """The inverse stream: watch a directory of blob parquet files
     (e.g. start_incremental_encode's output) and decode each
@@ -89,7 +90,13 @@ def start_incremental_decode(
     per-batch latency knob. Each batch writes a ``_lineage_batch_*.json``
     with its decode+write wall beside the output (same lineage shape as
     the encode stream), so latency evidence comes from the stream
-    itself."""
+    itself.
+
+    ``sink``: "parquet" (default) appends each decoded batch under
+    ``output_dir/batch=<id>``; "count" fully materializes the decode but
+    discards the rows (a count aggregate), for deployments whose
+    downstream is compute rather than storage — it isolates the stream's
+    decode rate from the append cost."""
     from datafusion_orc_spark.operators.encode import BLOB_SCHEMA, decode_table
 
     os.makedirs(output_dir, exist_ok=True)
@@ -104,13 +111,39 @@ def start_incremental_decode(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
-        rows = decode_table(batch_df, None, spark_schema, shuffle=True, where=where)
         batch_dir = os.path.join(output_dir, f"batch={batch_id}")
-        rows.write.mode("overwrite").parquet(batch_dir)
+        # File-granular micro-batches keep each stripe's blob rows inside
+        # one scan partition (encode writes them contiguously and blob
+        # part files are far below maxPartitionBytes), so the default is
+        # the zero-Exchange partition-local decode — the same no-shuffle
+        # path the batch engine uses. decode_table(shuffle=False) raises
+        # if the co-location assumption is ever violated (a foreign blob
+        # layout, a giant part file split mid-stripe); only then do we
+        # pay the groupBy Exchange.
+        def run(shuffle: bool) -> int | None:
+            rows = decode_table(batch_df, None, spark_schema, shuffle=shuffle, where=where)
+            if sink == "count":
+                return rows.agg(F.count(F.lit(1))).collect()[0][0]
+            rows.write.mode("overwrite").parquet(batch_dir)
+            return None
+
+        try:
+            out_rows = run(shuffle=False)
+        except Exception as e:  # Spark wraps the decode ValueError
+            if "missing columns within their partition" not in str(e):
+                raise
+            out_rows = run(shuffle=True)
         wall = round(time.time() - t0, 3)
-        # untimed: row count via parquet metadata (decode+write is the
-        # latency; the count is lineage bookkeeping)
-        out_rows = batch_df.sparkSession.read.parquet(batch_dir).count()
+        if out_rows is None:
+            # untimed bookkeeping: row count straight from the output
+            # parquet footers (driver-side metadata, no Spark job)
+            import pyarrow.parquet as _pq
+            import glob as _glob
+
+            out_rows = sum(
+                _pq.ParquetFile(p).metadata.num_rows
+                for p in _glob.glob(os.path.join(batch_dir, "*.parquet"))
+            )
         with open(os.path.join(output_dir, f"_lineage_batch_{batch_id}.json"), "w") as f:
             json.dump({"batch_id": batch_id, "wall_sec": wall, "out_rows": out_rows}, f)
 
