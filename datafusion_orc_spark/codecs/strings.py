@@ -28,6 +28,24 @@ ESCAPE = 255
 _MAX_SYMBOLS = 255  # codes 0..254; 255 reserved for escape
 
 
+def _greedy_odd_even(mask: np.ndarray) -> np.ndarray:
+    """Greedy left-to-right non-overlap selection: within each maximal
+    run of True positions, keep every other one starting at the run
+    head. Shared by digram matching (fsst_encode) and the generation
+    rewrites (_apply_pairs) — the selection rule must be identical for
+    the cross-stripe replay to reproduce training-time choices.
+
+    int32 index arithmetic + a bitwise parity test: the int64
+    arange/accumulate/% variant measured ~3x slower on the reuse path
+    (int64 modulo is a division per element)."""
+    n = len(mask)
+    run_start = mask.copy()
+    run_start[1:] &= ~mask[:-1]
+    idx = np.arange(n, dtype=np.int32)
+    origin = np.maximum.accumulate(np.where(run_start, idx, np.int32(-1)))
+    return mask & (((idx - origin) & 1) == 0)
+
+
 def column_as_arrow(blob: bytes, lengths: np.ndarray) -> pa.Array:
     """(blob, lengths) -> zero-copy large_binary Arrow array."""
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
@@ -191,42 +209,48 @@ def fsst_encode(
         matchable[spans] = False
     # greedy left-to-right selection of non-overlapping digram matches:
     # within each maximal run of matchable positions, take every other one
-    starts_mask = matchable & ~np.concatenate(([False], matchable[:-1]))
-    run_id = np.cumsum(starts_mask)
-    pos_in_run = np.arange(n) - np.maximum.accumulate(np.where(starts_mask, np.arange(n), -1))
-    chosen = matchable & (pos_in_run % 2 == 0)
+    chosen = _greedy_odd_even(matchable)
     # positions consumed as the 2nd byte of a chosen digram
     consumed = np.zeros(n, dtype=bool)
     consumed[1:] = chosen[:-1]
-    literal = ~chosen & ~consumed
-    # output sizes: chosen -> 1 byte; literal with single code -> 1; else 2
     scode = table.single_code[b]
-    lit_single = literal & (scode != ESCAPE)
-    lit_escape = literal & (scode == ESCAPE)
-    out_size = int(chosen.sum()) + int(lit_single.sum()) + 2 * int(lit_escape.sum())
-    out = np.empty(out_size, dtype=np.uint8)
-    # per-input-position output width (0 for consumed)
-    width = np.zeros(n, dtype=np.int64)
-    width[chosen] = 1
-    width[lit_single] = 1
-    width[lit_escape] = 2
-    opos = np.zeros(n, dtype=np.int64)
-    np.cumsum(width[:-1], out=opos[1:])
-    out[opos[chosen]] = dcode[np.flatnonzero(chosen)]
-    out[opos[lit_single]] = scode[lit_single]
-    e = np.flatnonzero(lit_escape)
-    out[opos[e]] = ESCAPE
-    out[opos[e] + 1] = b[e]
+    # first output byte per element-start position: a literal's single
+    # code (or the ESCAPE marker when it has none — scode already holds
+    # ESCAPE there), overwritten with the digram code where chosen.
+    # chosen digram codes are never ESCAPE (matchable excluded them), so
+    # val0==ESCAPE at a start <=> escape literal.
+    val0 = scode.copy()
+    ci = np.flatnonzero(chosen)  # index form: cheaper than boolean masks
+    val0[ci] = dcode[ci]
+    starts = np.flatnonzero(~consumed)  # element start per input position
+    sb = b[starts]
+    v0 = val0[starts]
+    # escape literals emit 2 bytes; chosen positions can't hit this:
+    # their val0 is a digram code and matchable excluded ESCAPE codes
+    esc = v0 == ESCAPE
+    ei = np.flatnonzero(esc)
+    # element order IS output order and widths are 1 or 2: the stream is
+    # v0 with each escape's payload byte spliced in right after its
+    # marker — one np.insert when escapes are sparse (the common shape;
+    # a trained table covers the hot bytes), else one boolean-mask
+    # extraction over a 2-wide staging matrix. Either way no
+    # width/cumsum/opos and no full-width fancy-index scatters
+    # (latency-bound on this box; see memory notes r3/r5).
+    n_el = len(starts)
+    if len(ei) * 8 <= n_el:
+        out = np.insert(v0, ei + 1, sb[ei])
+    else:
+        stage = np.empty((n_el, 2), dtype=np.uint8)
+        stage[:, 0] = v0
+        stage[:, 1] = sb
+        emit = np.empty((n_el, 2), dtype=bool)
+        emit[:, 0] = True
+        emit[:, 1] = esc
+        out = stage[emit]
     if not return_elements:
         return out.tobytes()
-    starts = np.flatnonzero(~consumed)  # element start per input position
-    elem_id = np.empty(len(starts), dtype=np.int64)
-    ch = chosen[starts]
-    ls = lit_single[starts]
-    esc = ~ch & ~ls
-    elem_id[ch] = dcode[starts[ch]]
-    elem_id[ls] = scode[starts[ls]]
-    elem_id[esc] = 256 + b[starts[esc]].astype(np.int64)
+    elem_id = v0.astype(np.int64)
+    elem_id[ei] = 256 + sb[ei].astype(np.int64)
     return out.tobytes(), elem_id, starts.astype(np.int64)
 
 
@@ -312,9 +336,7 @@ def _apply_pairs(
     )
     m = np.zeros(len(elem_id), dtype=bool)
     m[:-1] = valid & (pair_code[key] >= 0)
-    run_start = m & ~np.concatenate(([False], m[:-1]))
-    pos = np.arange(len(m)) - np.maximum.accumulate(np.where(run_start, np.arange(len(m)), -1))
-    sel = m & (pos % 2 == 0)
+    sel = _greedy_odd_even(m)
     consumed = np.zeros(len(m), dtype=bool)
     consumed[1:] = sel[:-1]
     keep = ~consumed
@@ -444,7 +466,7 @@ class _FsstGenEntry:
     per-generation pair maps, the final table, and the training stripe's
     achieved ratio (the reuse-quality anchor)."""
 
-    __slots__ = ("base", "gens", "table", "ratio", "uses")
+    __slots__ = ("base", "gens", "table", "ratio", "uses", "_pair_maps")
 
     def __init__(self, base, gens, table, ratio):
         self.base = base
@@ -452,6 +474,20 @@ class _FsstGenEntry:
         self.table = table
         self.ratio = ratio
         self.uses = 0
+        self._pair_maps: list[np.ndarray] | None = None
+
+    def pair_maps(self) -> list[np.ndarray]:
+        """Dense 512*512 -> code maps, one per generation, built once on
+        first reuse — refilling a 2 MB map per stripe per generation was
+        ~10% of the reuse wall. int32: codes < 512, -1 sentinel."""
+        if self._pair_maps is None:
+            maps = []
+            for keys, codes in self.gens:
+                pc = np.full(512 * 512, -1, dtype=np.int32)
+                pc[keys] = codes
+                maps.append(pc)
+            self._pair_maps = maps
+        return self._pair_maps
 
 
 _FSST_GEN_CACHE: dict[str, _FsstGenEntry] = {}
@@ -504,10 +540,7 @@ def fsst_compress_column(
         elem_len = np.where(
             elem_id < 256, ent.base.out_len[np.minimum(elem_id, 255)], 1
         ).astype(np.int64)
-        pair_code = np.full(512 * 512, -1, dtype=np.int64)
-        for keys, codes in ent.gens:
-            pair_code[:] = -1
-            pair_code[keys] = codes
+        for pair_code in ent.pair_maps():
             elem_id, elem_len, string_id = _apply_pairs(
                 elem_id, elem_len, string_id, pair_code
             )
