@@ -1852,6 +1852,61 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_orc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point lookup (the 100-TB needle query): lineitem is
+    hash-SHUFFLED (repartition) before the distributed ORC write so
+    every stripe's l_orderkey min/max spans essentially the whole
+    domain — stats pruning can never discriminate a point predicate —
+    and written with a BLOOM_FILTER_UTF8 stream on l_orderkey (our
+    writer, codecs/bloom.py; the reference stubs its stats interface
+    entirely, file_format.rs:108-116). The read pushes the point
+    predicate down (prune lo==hi): surviving row groups come from the
+    bloom, the exact predicate is re-applied on the decoded rows, so
+    the result is value-exact regardless of pruning. Oracle = the same
+    lookup on the raw parquet. The probed key is MAX(l_orderkey) —
+    present at every SF, computed identically by both dialects."""
+    import hashlib
+    import os
+    import tempfile
+
+    from datafusion_orc_spark import FORMAT_VERSION
+    from datafusion_orc_spark.sources.orc_sink import write_orc_distributed
+    from datafusion_orc_spark.sources.orc_source import read_orc_distributed
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    key = li.agg(F.max("l_orderkey")).collect()[0][0]
+    tag = hashlib.md5(f"{sf_dir}:v{FORMAT_VERSION}:bloom".encode()).hexdigest()[:8]
+    out = f"{tempfile.gettempdir()}/dos_orc_bloom_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        stats = write_orc_distributed(
+            li.repartition(2), out, stripe_rows=16384, compression="snappy",
+            row_index_stride=4096, bloom_filter_columns=["l_orderkey"],
+        ).collect()
+        assert sum(r["n_rows"] for r in stats) > 0
+        open(os.path.join(out, "_DONE"), "w").close()
+    df = read_orc_distributed(spark, out, prune={"l_orderkey": (key, key)})
+    df.createOrReplaceTempView("lineitem_bloom")
+    return spark.sql(
+        f"SELECT l_orderkey, COUNT(*) AS n, "
+        f"CAST(SUM(l_linenumber) AS BIGINT) AS sum_line, "
+        f"CAST(SUM(l_quantity) AS BIGINT) AS sum_qty "
+        f"FROM lineitem_bloom WHERE l_orderkey = {int(key)} "
+        f"GROUP BY l_orderkey"
+    )
+
+
+SQL_ORC_POINT_LOOKUP = """
+SELECT l_orderkey, COUNT(*) AS n,
+       CAST(SUM(l_linenumber) AS BIGINT) AS sum_line,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem)
+GROUP BY l_orderkey
+"""
+
+
 _PACK_CTX = 64  # context length of a packed training window
 
 
@@ -2119,6 +2174,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "orc_scan_agg": (q_orc_scan_agg, SQL_ORC_SCAN_AGG),
     "orc_pruned_scan": (q_orc_pruned_scan, SQL_ORC_PRUNED_SCAN),
     "orc_sink_roundtrip": (q_orc_sink_roundtrip, SQL_ORC_SINK_ROUNDTRIP),
+    "orc_point_lookup": (q_orc_point_lookup, SQL_ORC_POINT_LOOKUP),
     "codec_stats": (q_codec_stats, SQL_CODEC_STATS),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),

@@ -38,6 +38,8 @@ def write_orc_distributed(
     rows_per_file: int = 1 << 20,
     bytes_per_file: int = 256 * 1024 * 1024,
     row_index_stride: int | None = None,
+    bloom_filter_columns: list[str] | None = None,
+    bloom_filter_fpp: float = 0.05,
 ) -> DataFrame:
     """df -> ``output_dir``/part-*.orc via OUR ORC writer, in parallel.
 
@@ -84,6 +86,8 @@ def write_orc_distributed(
             write_orc(
                 tbl, buf, stripe_rows=stripe_rows, compression=compression,
                 row_index_stride=row_index_stride,
+                bloom_filter_columns=bloom_filter_columns,
+                bloom_filter_fpp=bloom_filter_fpp,
             )
             raw = buf.getvalue()
             if isinstance(store, LocalStore):

@@ -305,4 +305,41 @@ def test_bloom_unsupported_column_type_raises(tmp_path):
 
     tbl = pa.table({"b": pa.array([True, False])})
     with pytest.raises((TypeError, ValueError)):
-        write_orc(tbl, str(tmp_path / "x.orc"), bloom_filter_columns=["b"])
+        write_orc(
+            tbl, str(tmp_path / "x.orc"),
+            row_index_stride=1000, bloom_filter_columns=["b"],
+        )
+
+
+def test_sink_threads_bloom_columns(spark, tmp_path):
+    """write_orc_distributed(bloom_filter_columns=) -> every part file
+    carries kind-8 streams; the distributed read with a point prune
+    returns exactly the probed rows."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from datafusion_orc_spark.sources.orc_sink import write_orc_distributed
+    from datafusion_orc_spark.sources.orc_source import read_orc_distributed
+
+    df = (
+        spark.range(0, 20000)
+        .select(
+            (F.col("id") * 7 % 20011).alias("k"),  # shuffled domain
+            (F.col("id") % 100).alias("v"),
+        )
+        .repartition(2)
+    )
+    out = str(tmp_path / "sinkbloom")
+    write_orc_distributed(
+        df, out, stripe_rows=8192, row_index_stride=2048,
+        bloom_filter_columns=["k"],
+    ).collect()
+    for p in glob.glob(f"{out}/*.orc"):
+        _, blooms = _read_blooms(p)
+        assert any(8 in per for per in blooms.values()), p
+    got = read_orc_distributed(spark, out, prune={"k": (77, 77)}).filter(
+        "k = 77"
+    )
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["k"] == 77
