@@ -484,7 +484,8 @@ def main() -> None:
         with open("/proc/stat") as f:
             return [int(x) for x in f.readline().split()[1:]]
 
-    def measure_exec_config(path, n_exec, n_cores, warmups=2, runs=3, diag=None, discard=False):
+    def measure_exec_config(path, n_exec, n_cores, warmups=2, runs=3, diag=None, discard=False,
+                            jobs_per_wall=1, floors=None):
         """One local-cluster[n_exec,n_cores,*] session: warmups untimed,
         then ``runs`` measured walls (worker spawn + arena faults must
         never land in the measured window). When ``diag`` is a list, a
@@ -492,17 +493,42 @@ def main() -> None:
         during the run plus the stage's task-skew histogram — the
         evidence that separates real scaling limits from machine phases
         (writeback storms show as high iowait; cold worker arenas as a
-        high max/median task ratio)."""
+        high max/median task ratio).
+
+        ``floors``: when a dict, record Spark's per-job dispatch floor
+        for this session — 3 timed no-work jobs with the encode's task
+        count (measured 0.2-0.37 s on multi-JVM local-clusters, i.e.
+        20-30% of a ~1.4 s sf0.1 4x2 wall but noise on sf1's 10-40 s
+        walls). ``jobs_per_wall`` times that many back-to-back jobs per
+        wall and records the per-job mean — note this smooths variance
+        but does NOT amortize the dispatch floor (each job pays it);
+        wall-level and task-level efficiencies are published side by
+        side instead."""
         lspark = build_session(CPUS, master=f"local-cluster[{n_exec},{n_cores},2048]")
         lspark.sparkContext.setLogLevel("ERROR")
         walls = []
         try:
+            if floors is not None:
+                # measured dispatch floor: a no-work job with the same
+                # task count as the encode (published, not assumed)
+                sc = lspark.sparkContext
+                sc.parallelize(range(n_exec * n_cores), n_exec * n_cores).count()
+                fs = []
+                for _ in range(3):
+                    t0 = time.time()
+                    sc.parallelize(range(n_exec * n_cores), n_exec * n_cores).count()
+                    fs.append(round(time.time() - t0, 3))
+                floors.setdefault(f"{n_exec}x{n_cores}", []).extend(fs)
             for _ in range(warmups):
                 run_encode(lspark, path, n_exec * n_cores, discard=discard)
                 os.sync()
             for _ in range(runs):
                 c0 = _cpu_sample()
-                r = run_encode(lspark, path, n_exec * n_cores, discard=discard)
+                t0 = time.time()
+                for _j in range(jobs_per_wall):
+                    r = run_encode(lspark, path, n_exec * n_cores, discard=discard)
+                if jobs_per_wall > 1:
+                    r = {"wall": (time.time() - t0) / jobs_per_wall}
                 c1 = _cpu_sample()
                 walls.append(round(r["wall"], 3))
                 if diag is not None:
@@ -606,24 +632,85 @@ def main() -> None:
         def _exec_block():
             # SPARK_GRAFT_EXEC_PAIR="2:8" measures a 2x2 -> 8x2 pair
             # instead of the default 1x2 -> 4x2 (same N -> 4N shape)
+            import statistics as _stats
+
             lo_n, hi_n = (
                 int(x) for x in os.environ.get("SPARK_GRAFT_EXEC_PAIR", "1:4").split(":")
             )
+            def _bw_pair_sample() -> float:
+                # raw numpy bandwidth scaling at the PAIR's exact stream
+                # counts (lo_n*2 vs hi_n*2 concurrent memory streams), in
+                # the pair's own window: the single-box hardware ceiling
+                # for this reading. A real 4-node cluster runs lo_n*2
+                # streams per bus on every node — the hw curve there is
+                # ~1.0 by construction; here all hi_n*2 streams share one
+                # bus and the probe measures how much of the deficit is
+                # the bus, not the engine.
+                import multiprocessing as mp
+
+                thr = {}
+                for n in (lo_n * 2, hi_n * 2):
+                    best = 0.0
+                    for _ in range(2):
+                        with mp.Pool(n) as p:
+                            t0 = time.time()
+                            p.map(_bw_work, range(n * 2))
+                            best = max(best, (n * 2) / (time.time() - t0))
+                    thr[n] = best
+                return round(thr[hi_n * 2] / thr[lo_n * 2] / (hi_n / lo_n), 3)
+
             exec_walls: dict[int, list[float]] = {lo_n: [], hi_n: []}
+            floors: dict[str, list[float]] = {}
+            hw_samples: list[float] = []
+            diag: list[dict] = []
             for _round in range(3):
+                hw_samples.append(_bw_pair_sample())
                 for n_exec in (lo_n, hi_n):
-                    exec_walls[n_exec] += measure_exec_config(tokens_path, n_exec, 2)
+                    exec_walls[n_exec] += measure_exec_config(
+                        tokens_path, n_exec, 2, floors=floors, diag=diag
+                    )
             ex = {
                 f"executors_{lo_n}x2_tokens_per_sec": round(total_tokens / min(exec_walls[lo_n])),
                 f"executors_{hi_n}x2_tokens_per_sec": round(total_tokens / min(exec_walls[hi_n])),
                 f"executors_{lo_n}_walls": exec_walls[lo_n],
                 f"executors_{hi_n}_walls": exec_walls[hi_n],
+                "dispatch_floor_walls": floors,
+                "run_diagnostics": diag,
             }
+            # task-TIME efficiency: each 1x2 task processes exactly 4x a
+            # 4x2 task's tokens (same split list, n_parts = cores), so
+            # med_task(1x2) / (4 * med_task(4x2)) is the encode's own
+            # scaling with every per-job constant (dispatch, result
+            # fetch, teardown — measured in dispatch_floor_walls)
+            # excluded. Wall efficiency below includes those constants.
+            t_lo = [d["median_task_s"] for d in diag
+                    if d["config"] == f"{lo_n}x2" and "median_task_s" in d]
+            t_hi = [d["median_task_s"] for d in diag
+                    if d["config"] == f"{hi_n}x2" and "median_task_s" in d]
+            if t_lo and t_hi:
+                ex[f"efficiency_exec_{lo_n}_{hi_n}_tasktime"] = round(
+                    _stats.median(t_lo) / _stats.median(t_hi) / (hi_n / lo_n), 3
+                )
             ex[f"efficiency_exec_{lo_n}_{hi_n}"] = round(
                 (total_tokens / min(exec_walls[hi_n]))
                 / (total_tokens / min(exec_walls[lo_n]))
                 / (hi_n / lo_n),
                 3,
+            )
+            ex[f"efficiency_exec_{lo_n}_{hi_n}_median"] = round(
+                _stats.median(exec_walls[lo_n])
+                / _stats.median(exec_walls[hi_n])
+                / (hi_n / lo_n),
+                3,
+            )
+            hw_med = _stats.median(hw_samples)
+            ex["hw_bw_scaling_pair"] = hw_samples
+            # engine scaling normalized by the hardware's own curve in
+            # the same window (capped at 1.5 like the ladder's
+            # efficiency_vs_hw): ~1.0 = the engine adds no scaling
+            # overhead beyond the box's shared bus
+            ex[f"efficiency_exec_{lo_n}_{hi_n}_vs_hw"] = round(
+                min(1.5, ex[f"efficiency_exec_{lo_n}_{hi_n}"] / max(1e-9, hw_med)), 3
             )
             extras["executor_scaling"] = ex
 
