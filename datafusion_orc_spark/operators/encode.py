@@ -222,6 +222,7 @@ def encode_files(
     parallelism: int | None = None,
     discard_output: bool = False,
     recycle_output: bool = False,
+    bytes_per_file: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Parquet files -> blob table WITHOUT moving row data through the JVM.
 
@@ -229,8 +230,9 @@ def encode_files(
     row-group range (metadata-only reads); each python worker scans its
     row groups directly with pyarrow (C++ reader, zero-copy into the
     numpy kernels) and — when ``output_dir`` is given — writes its blob
-    rows as a parquet part file from inside the task, emitting only the
-    tiny stats rows. Compare encode_table, which encodes an arbitrary
+    rows as parquet part files from inside the task (byte-rolled at
+    ``bytes_per_file``, so tasks emit few large files rather than one
+    per row-group split), emitting only the tiny stats rows. Compare encode_table, which encodes an arbitrary
     DataFrame but pays JVM->Python Arrow IPC for every row; here the
     token arrays never cross a process boundary uncompressed. This
     mirrors the reference's architecture (scan + decode live in one
@@ -360,6 +362,56 @@ def encode_files(
             out_store.makedirs(out_path)
         part_id = TaskContext.get().partitionId()
         k = 0
+        # byte-rolled output: blob batches accumulate across splits and
+        # flush once ``bytes_per_file`` is reached (plus a final flush),
+        # so a task emits few LARGE part files instead of one file per
+        # row-group split — at sf1 that is 32 ~150 MB files instead of
+        # 640 ~7 MB ones. Object stores and shuffle-free decode scans
+        # both want big files; flush points are deterministic (split
+        # order and encoded sizes are), so recycle re-runs still
+        # overwrite the exact same names in place.
+        pend: list[pa.RecordBatch] = []
+        pend_bytes = 0
+        file_seq = 0
+
+        def _flush():
+            nonlocal pend, pend_bytes, file_seq
+            if not pend:
+                return
+            out = pa.Table.from_batches(pend, schema=_BLOB_PA_SCHEMA)
+            name = f"part-{part_id:05d}-{file_seq:03d}.parquet"
+            # blob bytes are already entropy-packed: snappy on top
+            # wastes CPU for ~0% gain
+            if recycle_output and isinstance(out_store, LocalStore):
+                # in-place overwrite: reuse the existing file's
+                # already-faulted page-cache pages (see docstring)
+                import os as _os
+
+                full = f"{out_path}/{name}"
+                if _os.path.exists(full):
+                    with open(full, "r+b") as fh:
+                        pq.write_table(
+                            out, fh, row_group_size=1 << 20, compression="none"
+                        )
+                        fh.truncate()
+                else:
+                    pq.write_table(
+                        out, full, row_group_size=1 << 20, compression="none"
+                    )
+            elif isinstance(out_store, LocalStore):
+                # local: write-then-rename for atomic visibility
+                pq.write_table(
+                    out, f"{out_path}/.{name}.tmp",
+                    row_group_size=1 << 20, compression="none",
+                )
+                out_store.rename(f"{out_path}/.{name}.tmp", f"{out_path}/{name}")
+            else:
+                # object stores: a single PUT is already atomic
+                with out_store.open_output(f"{out_path}/{name}") as fh:
+                    pq.write_table(out, fh, row_group_size=1 << 20, compression="none")
+            pend, pend_bytes = [], 0
+            file_seq += 1
+
         for b in batches:
             for path, rg_start, n_rg in zip(
                 b.column(0).to_pylist(), b.column(1).to_pylist(), b.column(2).to_pylist()
@@ -387,43 +439,20 @@ def encode_files(
                 elif output_dir is None:
                     yield from blob_batches
                 else:
-                    out = pa.Table.from_batches(list(blob_batches), schema=_BLOB_PA_SCHEMA)
-                    name = f"part-{part_id:05d}-{k:03d}.parquet"
-                    # blob bytes are already entropy-packed: snappy on top
-                    # wastes CPU for ~0% gain
-                    if recycle_output and isinstance(out_store, LocalStore):
-                        # in-place overwrite: reuse the existing file's
-                        # already-faulted page-cache pages (see docstring)
-                        import os as _os
-
-                        full = f"{out_path}/{name}"
-                        if _os.path.exists(full):
-                            with open(full, "r+b") as fh:
-                                pq.write_table(
-                                    out, fh, row_group_size=1 << 20, compression="none"
-                                )
-                                fh.truncate()
-                        else:
-                            pq.write_table(
-                                out, full, row_group_size=1 << 20, compression="none"
-                            )
-                    elif isinstance(out_store, LocalStore):
-                        # local: write-then-rename for atomic visibility
-                        pq.write_table(
-                            out, f"{out_path}/.{name}.tmp",
-                            row_group_size=1 << 20, compression="none",
-                        )
-                        out_store.rename(f"{out_path}/.{name}.tmp", f"{out_path}/{name}")
-                    else:
-                        # object stores: a single PUT is already atomic
-                        with out_store.open_output(f"{out_path}/{name}") as fh:
-                            pq.write_table(out, fh, row_group_size=1 << 20, compression="none")
-                    yield from out.drop_columns("data").to_batches()
+                    for bb in blob_batches:
+                        pend.append(bb)
+                        pend_bytes += bb.nbytes
+                        yield from pa.Table.from_batches(
+                            [bb], schema=_BLOB_PA_SCHEMA
+                        ).drop_columns("data").to_batches()
+                        if pend_bytes >= bytes_per_file:
+                            _flush()
                 k += 1
+        _flush()
         if recycle_output and out_store is not None and isinstance(out_store, LocalStore):
-            # task-side stale cleanup: this partition wrote splits
-            # 0..k-1; files with a higher split index are leftovers from
-            # a previous run whose split list was longer — remove them
+            # task-side stale cleanup: this partition wrote files
+            # 0..file_seq-1; higher file indices are leftovers from a
+            # previous run whose roll layout was longer — remove them
             # so the directory matches a fresh write exactly
             import glob as _glob
             import os as _os
@@ -433,7 +462,7 @@ def encode_files(
                     kk = int(p.rsplit("-", 1)[1].split(".")[0])
                 except ValueError:
                     continue
-                if kk >= k:
+                if kk >= file_seq:
                     _os.unlink(p)
 
     return sdf.mapInArrow(

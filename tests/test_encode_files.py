@@ -136,3 +136,42 @@ def test_encode_files_recycle_output(spark, tmp_path):
         for p in glob.glob(f"{fresh}/part-*.parquet")
     )
     assert fresh_files == files_2
+
+
+def test_encode_files_byte_rolled_output(spark, tmp_path):
+    """Part files roll on bytes_per_file, not per row-group split: the
+    default consolidates a task's splits into one large file (the
+    100-TB layout — object stores want few big files); a tiny threshold
+    rolls mid-task; both decode to identical rows."""
+    import os
+
+    df = spark.read.parquet(SRC)
+    exp = list(
+        df.agg(F.sum("l_quantity"), F.sum("l_orderkey"), F.count(F.lit(1))).collect()[0]
+    )
+
+    big = str(tmp_path / "big")
+    encode_files(
+        spark, SRC, stripe_rows=2000, output_dir=big, parallelism=2, job_token=5
+    ).collect()
+    big_files = sorted(glob.glob(f"{big}/part-*.parquet"))
+    # default 256MB threshold: exactly ONE file per task that had work
+    # (sf0.001 lineitem is a single row group -> a single split/task)
+    per_task = {os.path.basename(p).split("-")[1] for p in big_files}
+    assert len(big_files) == len(per_task)
+    assert all(os.path.basename(p).split("-")[2] == "000.parquet" for p in big_files)
+
+    small = str(tmp_path / "small")
+    encode_files(
+        spark, SRC, stripe_rows=2000, output_dir=small, parallelism=2,
+        job_token=5, bytes_per_file=64 * 1024,
+    ).collect()
+    small_files = glob.glob(f"{small}/part-*.parquet")
+    assert len(small_files) > 2  # rolled mid-task
+
+    for out in (big, small):
+        dec = decode_table(spark.read.parquet(out), None, df.schema, shuffle=True)
+        got = list(
+            dec.agg(F.sum("l_quantity"), F.sum("l_orderkey"), F.count(F.lit(1))).collect()[0]
+        )
+        assert got == exp
