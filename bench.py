@@ -567,21 +567,27 @@ def main() -> None:
     if sf1_path is not None:
         @_optional("scaling_sf1")
         def _sf1_block():
-            # r4 verdict #1: with 2 walls/level the sf1 gate was a
-            # lottery (readings 0.43..1.00). Protocol now matches the
-            # sf0.1 pair: >=3 interleaved session rounds x 3 measured
-            # walls per level (9 walls/level), 1 untimed warmup per
-            # session, plus per-run iowait/idle + task-skew diagnostics
-            # so any below-gate wall is attributable (writeback storm vs
-            # cold arenas vs real contention) instead of unexplained.
+            # r4 verdict #1: with 2 walls/level in ONE session the sf1
+            # gate was a lottery (readings 0.43..1.00); r5 moved to 3
+            # sessions x 3 walls; per-run iowait/idle + task-skew
+            # diagnostics attribute any below-gate wall (writeback storm
+            # vs cold arenas vs real contention) instead of leaving it
+            # unexplained.
             import statistics
 
+            # r6: 5 interleaved session rounds x 2 measured walls/level
+            # (10 walls each) instead of 3x3 — a single slow machine
+            # phase used to cover one whole 3-wall 4x2 session (run 4:
+            # walls 12.6-13.9 s all from one session vs 9.1-10.2 in the
+            # others), dragging the MEDIAN below the gate while best-of
+            # and the compute pair passed. More, shorter sessions =
+            # more independent phase samples per level.
             sf1_walls: dict[int, list[float]] = {1: [], 4: []}
             diag: list[dict] = []
-            for _round in range(3):
+            for _round in range(5):
                 for n_exec in (1, 4) if _round % 2 == 0 else (4, 1):
                     sf1_walls[n_exec] += measure_exec_config(
-                        sf1_path, n_exec, 2, warmups=1, runs=3, diag=diag
+                        sf1_path, n_exec, 2, warmups=1, runs=2, diag=diag
                     )
             med1 = statistics.median(sf1_walls[1])
             med4 = statistics.median(sf1_walls[4])
