@@ -362,55 +362,78 @@ def encode_files(
             out_store.makedirs(out_path)
         part_id = TaskContext.get().partitionId()
         k = 0
-        # byte-rolled output: blob batches accumulate across splits and
-        # flush once ``bytes_per_file`` is reached (plus a final flush),
-        # so a task emits few LARGE part files instead of one file per
-        # row-group split — at sf1 that is 32 ~150 MB files instead of
-        # 640 ~7 MB ones. Object stores and shuffle-free decode scans
-        # both want big files; flush points are deterministic (split
-        # order and encoded sizes are), so recycle re-runs still
-        # overwrite the exact same names in place.
-        pend: list[pa.RecordBatch] = []
-        pend_bytes = 0
+        # byte-rolled output: blob batches stream into one open part
+        # file across splits and the file rolls once ``bytes_per_file``
+        # is reached, so a task emits few LARGE part files instead of
+        # one file per row-group split — at sf1 that is 32 ~150 MB
+        # files instead of 640 ~7 MB ones. Object stores and
+        # shuffle-free decode scans both want big files; roll points
+        # are deterministic (split order and encoded sizes are), so
+        # recycle re-runs still overwrite the exact same names in
+        # place.
+        # Streaming writer state: blob batches append to ONE open
+        # ParquetWriter (a row group per append) and the file rolls to
+        # the next name once ``bytes_per_file`` is reached — stores
+        # spread across the task's whole lifetime instead of bursting
+        # the full buffered file at task end (8 balanced tasks used to
+        # finish together and issue a synchronized multi-GB store
+        # storm; writeback-sensitive walls paid it), and the task never
+        # holds more than one blob batch in write-side memory. Blob
+        # bytes are already entropy-packed: snappy on top wastes CPU
+        # for ~0% gain.
+        writer = None  # open pq.ParquetWriter for the current part file
+        writer_fh = None  # underlying file object (recycle/object-store)
+        writer_tmp = None  # tmp name awaiting rename (atomic local mode)
+        written_bytes = 0
         file_seq = 0
 
-        def _flush():
-            nonlocal pend, pend_bytes, file_seq
-            if not pend:
-                return
-            out = pa.Table.from_batches(pend, schema=_BLOB_PA_SCHEMA)
+        def _open_writer():
+            nonlocal writer, writer_fh, writer_tmp
             name = f"part-{part_id:05d}-{file_seq:03d}.parquet"
-            # blob bytes are already entropy-packed: snappy on top
-            # wastes CPU for ~0% gain
             if recycle_output and isinstance(out_store, LocalStore):
                 # in-place overwrite: reuse the existing file's
                 # already-faulted page-cache pages (see docstring)
                 import os as _os
 
                 full = f"{out_path}/{name}"
-                if _os.path.exists(full):
-                    with open(full, "r+b") as fh:
-                        pq.write_table(
-                            out, fh, row_group_size=1 << 20, compression="none"
-                        )
-                        fh.truncate()
-                else:
-                    pq.write_table(
-                        out, full, row_group_size=1 << 20, compression="none"
-                    )
+                writer_fh = open(full, "r+b" if _os.path.exists(full) else "w+b")
+                sink = writer_fh
             elif isinstance(out_store, LocalStore):
                 # local: write-then-rename for atomic visibility
-                pq.write_table(
-                    out, f"{out_path}/.{name}.tmp",
-                    row_group_size=1 << 20, compression="none",
-                )
-                out_store.rename(f"{out_path}/.{name}.tmp", f"{out_path}/{name}")
+                writer_tmp = f"{out_path}/.{name}.tmp"
+                sink = writer_tmp
             else:
-                # object stores: a single PUT is already atomic
-                with out_store.open_output(f"{out_path}/{name}") as fh:
-                    pq.write_table(out, fh, row_group_size=1 << 20, compression="none")
-            pend, pend_bytes = [], 0
+                # object stores: a single streamed PUT is atomic
+                writer_fh = out_store.open_output(f"{out_path}/{name}")
+                sink = writer_fh
+            writer = pq.ParquetWriter(sink, _BLOB_PA_SCHEMA, compression="none")
+
+        def _close_writer():
+            nonlocal writer, writer_fh, writer_tmp, written_bytes, file_seq
+            if writer is None:
+                return
+            writer.close()
+            if writer_fh is not None:
+                if recycle_output:
+                    writer_fh.truncate()  # previous run's tail, if longer
+                writer_fh.close()
+                writer_fh = None
+            if writer_tmp is not None:
+                name = f"part-{part_id:05d}-{file_seq:03d}.parquet"
+                out_store.rename(writer_tmp, f"{out_path}/{name}")
+                writer_tmp = None
+            writer = None
+            written_bytes = 0
             file_seq += 1
+
+        def _emit(bb: pa.RecordBatch):
+            nonlocal written_bytes
+            if writer is None:
+                _open_writer()
+            writer.write_table(pa.Table.from_batches([bb], schema=_BLOB_PA_SCHEMA))
+            written_bytes += bb.nbytes
+            if written_bytes >= bytes_per_file:
+                _close_writer()
 
         for b in batches:
             for path, rg_start, n_rg in zip(
@@ -440,15 +463,12 @@ def encode_files(
                     yield from blob_batches
                 else:
                     for bb in blob_batches:
-                        pend.append(bb)
-                        pend_bytes += bb.nbytes
+                        _emit(bb)
                         yield from pa.Table.from_batches(
                             [bb], schema=_BLOB_PA_SCHEMA
                         ).drop_columns("data").to_batches()
-                        if pend_bytes >= bytes_per_file:
-                            _flush()
                 k += 1
-        _flush()
+        _close_writer()
         if recycle_output and out_store is not None and isinstance(out_store, LocalStore):
             # task-side stale cleanup: this partition wrote files
             # 0..file_seq-1; higher file indices are leftovers from a
