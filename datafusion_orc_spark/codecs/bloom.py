@@ -53,6 +53,42 @@ def _fmix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+_LONG_VALUE_BLOCKS = 2048  # 16 KB — above this, the h-chain loop beats padding
+
+
+def _murmur3_hash64_long(data: np.ndarray, seed: int) -> int:
+    """Murmur3 64-bit of ONE long value. The k-transform of every body
+    block is independent (vectorized numpy pass); only the h chain is
+    sequential, and a python-int loop over precomputed k's is ~20x
+    faster per block than 1-element numpy ops."""
+    n = len(data)
+    nblk = n >> 3
+    ks = np.frombuffer(data[: nblk * 8].tobytes(), dtype="<u8").copy()
+    with np.errstate(over="ignore"):
+        ks *= _C1
+        ks = _rotl64(ks, 31)
+        ks *= _C2
+    mask = (1 << 64) - 1
+    m5, n1 = int(_M5), int(_N1)
+    h = seed
+    for k in ks.tolist():
+        h ^= k
+        h = ((h << 27) | (h >> 37)) & mask
+        h = (h * m5 + n1) & mask
+    k1 = int.from_bytes(data[nblk * 8:].tobytes().ljust(8, b"\0"), "little")
+    k1 = (k1 * int(_C1)) & mask
+    k1 = ((k1 << 31) | (k1 >> 33)) & mask
+    k1 = (k1 * int(_C2)) & mask
+    h ^= k1
+    h ^= n
+    h ^= h >> 33
+    h = (h * int(_FMIX1)) & mask
+    h ^= h >> 33
+    h = (h * int(_FMIX2)) & mask
+    h ^= h >> 33
+    return h
+
+
 def murmur3_hash64(data: bytes | np.ndarray, offsets: np.ndarray | None = None,
                    seed: int = DEFAULT_SEED) -> np.ndarray:
     """Murmur3 64-bit of N byte strings, vectorized across values.
@@ -73,11 +109,55 @@ def murmur3_hash64(data: bytes | np.ndarray, offsets: np.ndarray | None = None,
     n = len(offsets) - 1
     lengths = offsets[1:] - offsets[:-1]
     nblocks = (lengths >> 3).astype(np.int64)
+    # Genuinely long values (>16 KB) peel off to the sequential fast
+    # path first — both the padded matrix AND the per-block masked loop
+    # are O(max_blk) and a single 10 MB value would cost ~20 s / tens of
+    # GB either way (ADVICE r6).
+    long_sel = nblocks > _LONG_VALUE_BLOCKS
+    if long_sel.any():
+        out = np.empty(n, dtype=np.uint64)
+        for i in np.flatnonzero(long_sel):
+            out[i] = _murmur3_hash64_long(data[offsets[i]:offsets[i + 1]], seed)
+        rest = np.flatnonzero(~long_sel)
+        if rest.size:
+            r_len = lengths[rest]
+            r_off = np.zeros(len(rest) + 1, dtype=np.int64)
+            np.cumsum(r_len, out=r_off[1:])
+            gather = np.repeat(offsets[:-1][rest], r_len) + (
+                np.arange(int(r_len.sum()), dtype=np.int64)
+                - np.repeat(r_off[:-1], r_len)
+            )
+            out[rest] = murmur3_hash64(data[gather], r_off, seed)
+        return out
     max_blk = int(nblocks.max()) if n else 0
+    width = (max_blk + 1) * 8
+    # With outliers peeled, padding is bounded by 16 KB/row — but a
+    # skewed batch (one 16 KB value among thousands of short ids) still
+    # pads every row to the max. When the padded matrix would dwarf the
+    # real payload, bucket values by power-of-two length class and hash
+    # each class at its own width; results scatter back in input order.
+    # Typical batches (uniform-ish lengths) never take this branch.
+    payload = int(lengths.sum()) + 8 * n
+    if n > 1 and n * width > max(4 * payload, 1 << 22):
+        out = np.empty(n, dtype=np.uint64)
+        cls = np.zeros(n, dtype=np.int64)
+        nz = nblocks > 0
+        cls[nz] = np.frexp(nblocks[nz].astype(np.float64))[1]  # ~log2+1
+        for c in np.unique(cls):
+            sel = np.flatnonzero(cls == c)
+            sub_len = lengths[sel]
+            sub_off = np.zeros(len(sel) + 1, dtype=np.int64)
+            np.cumsum(sub_len, out=sub_off[1:])
+            # gather this class's bytes into a contiguous buffer
+            gather = np.repeat(offsets[:-1][sel], sub_len) + (
+                np.arange(int(sub_len.sum()), dtype=np.int64)
+                - np.repeat(sub_off[:-1], sub_len)
+            )
+            out[sel] = murmur3_hash64(data[gather], sub_off, seed)
+        return out
     # pad every value into a row of (max_blk+1) uint64 little-endian
     # blocks: body blocks 0..nblocks-1, the (zero-padded) tail block at
     # index nblocks. One scatter builds the whole matrix.
-    width = (max_blk + 1) * 8
     mat = np.zeros((n, width), dtype=np.uint8)
     # rows with byte range [off, off+len) -> mat[i, :len]
     idx_val = np.repeat(np.arange(n, dtype=np.int64), lengths)

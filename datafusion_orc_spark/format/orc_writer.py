@@ -637,6 +637,15 @@ def write_orc(
     types, _arrow_types = _reorder_root_first(table.schema, string_kinds)
 
     bloom_ids: dict[int, str] = {}  # ORC column id -> hash kind
+    if bloom_filter_columns and not row_index_stride:
+        # bloom streams live inside ROW_INDEX row groups; with the index
+        # disabled the emission block below would silently skip them and
+        # the caller would believe blooms were written (ADVICE r6)
+        raise ValueError(
+            "bloom_filter_columns requires a row_index_stride (>0); "
+            "row_index_stride=0 disables the row-group index that bloom "
+            "filters attach to"
+        )
     if bloom_filter_columns:
         by_name: dict[str, tuple[int, pa.DataType]] = {}
         nid = 1

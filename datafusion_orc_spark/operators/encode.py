@@ -319,6 +319,18 @@ def encode_files(
     )
     _ensure_workers_can_import(sdf)
     if recycle_output and output_dir is not None:
+        # in-place overwrite has no tmp+rename fence, so two CONCURRENT
+        # attempts of one task (speculative execution) could interleave
+        # writes into the same path — refuse up front (ADVICE r6).
+        # Plain retries are safe: the task-side writer falls back to
+        # attempt-suffixed tmp+rename when attemptNumber() > 0.
+        spec = spark.sparkContext.getConf().get("spark.speculation", "false")
+        if (spec or "false").lower() == "true":
+            raise ValueError(
+                "recycle_output=True is incompatible with speculative "
+                "execution (spark.speculation=true): two live attempts "
+                "would overwrite the same part file in place"
+            )
         # driver-side stale cleanup: a previous run at HIGHER parallelism
         # left part files for partition ids no task of this run owns —
         # remove them now so the recycled directory's final contents
@@ -331,7 +343,7 @@ def encode_files(
         o_store, o_path = resolve_store(output_dir)
         if isinstance(o_store, _LS):
             for p in _glob.glob(f"{o_path}/part-*.parquet") + _glob.glob(
-                f"{o_path}/.part-*.parquet.tmp"
+                f"{o_path}/.part-*.tmp"
             ):
                 base = _os.path.basename(p).lstrip(".")
                 try:
@@ -361,6 +373,12 @@ def encode_files(
             out_store, out_path = resolve_store(output_dir)
             out_store.makedirs(out_path)
         part_id = TaskContext.get().partitionId()
+        # retries never recycle: attempt 0 may have died mid-write, so the
+        # in-place file could be half-written — a retry rewrites it through
+        # an attempt-suffixed tmp + rename instead (ADVICE r6; speculation
+        # is rejected driver-side)
+        task_attempt = TaskContext.get().attemptNumber()
+        recycle_this_attempt = recycle_output and task_attempt == 0
         k = 0
         # byte-rolled output: blob batches stream into one open part
         # file across splits and the file rolls once ``bytes_per_file``
@@ -390,7 +408,7 @@ def encode_files(
         def _open_writer():
             nonlocal writer, writer_fh, writer_tmp
             name = f"part-{part_id:05d}-{file_seq:03d}.parquet"
-            if recycle_output and isinstance(out_store, LocalStore):
+            if recycle_this_attempt and isinstance(out_store, LocalStore):
                 # in-place overwrite: reuse the existing file's
                 # already-faulted page-cache pages (see docstring)
                 import os as _os
@@ -399,8 +417,10 @@ def encode_files(
                 writer_fh = open(full, "r+b" if _os.path.exists(full) else "w+b")
                 sink = writer_fh
             elif isinstance(out_store, LocalStore):
-                # local: write-then-rename for atomic visibility
-                writer_tmp = f"{out_path}/.{name}.tmp"
+                # local: write-then-rename for atomic visibility;
+                # attempt-suffixed so a zombie attempt 0 and a retry
+                # never write the same tmp path
+                writer_tmp = f"{out_path}/.{name}.attempt{task_attempt}.tmp"
                 sink = writer_tmp
             else:
                 # object stores: a single streamed PUT is atomic
@@ -414,7 +434,7 @@ def encode_files(
                 return
             writer.close()
             if writer_fh is not None:
-                if recycle_output:
+                if recycle_this_attempt and isinstance(out_store, LocalStore):
                     writer_fh.truncate()  # previous run's tail, if longer
                 writer_fh.close()
                 writer_fh = None
