@@ -2150,6 +2150,236 @@ GROUP BY lab.source ORDER BY lab.source
 """
 
 
+# --------------------------------------------------------------------------
+# 4. round-7 additions: streaming + multimodal oracles, production-geometry
+#    MinHash, string-key bloom point lookup
+# --------------------------------------------------------------------------
+
+
+def q_streaming_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming decode proven against the batch oracle:
+    tokenize documents → batch-encode to a static blob directory → drain
+    it with ``start_incremental_decode`` (availableNow trigger,
+    maxFilesPerTrigger=4 so the run spans SEVERAL checkpointed
+    micro-batches, not one degenerate batch) → aggregate the decoded
+    parquet per source. Oracle = the same aggregate recomputed from raw
+    text in DuckDB (SQL_ROUNDTRIP_TOKENS_AGG), so the entry is green
+    only if the full streaming path — file-source listing, checkpointed
+    batch ids, per-batch decode, append sink — reproduces every token
+    bit-identically."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from datafusion_orc_spark import FORMAT_VERSION
+    from datafusion_orc_spark.operators.encode import encode_table
+    from datafusion_orc_spark.sources.tokens import tokenized_sequences
+    from datafusion_orc_spark.streaming.incremental import start_incremental_decode
+
+    seqs = tokenized_sequences(spark, sf_dir).repartition(8)
+    tag = hashlib.md5(f"{sf_dir}:v{FORMAT_VERSION}:stream_rt".encode()).hexdigest()[:8]
+    root = f"{tempfile.gettempdir()}/dos_stream_rt_{tag}"
+    blob_dir, out_dir, ckpt = f"{root}/blobs", f"{root}/decoded", f"{root}/ckpt"
+    done = f"{root}/_DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        encode_table(seqs, stripe_rows=4096).write.mode("overwrite").parquet(blob_dir)
+        q = start_incremental_decode(
+            spark, blob_dir, seqs.schema, out_dir, ckpt, max_files_per_trigger=4
+        )
+        q.awaitTermination()
+        with open(done, "w") as f:
+            f.write("ok")
+    dec = (
+        spark.read.schema(seqs.schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(out_dir)
+    )
+    return (
+        dec.select(
+            "source",
+            "n_tok",
+            F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("tok_sum"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("tok_sum").alias("token_value_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_MEDIA_ROWS = 240  # fixed size: the media table is synthesized, not sf-scaled
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal surface end-to-end: deterministic REAL media payloads
+    (PNG / RIFF-WAV / frame-container bytes, functions/media_codecs.py)
+    generated distributed, decoded + feature-extracted via Arrow-batched
+    mapInPandas, then reduced to exact integers per kind — row count,
+    total payload bytes, and the per-row fixed-point (1e3) sum of every
+    feature element (quantize-then-sum, so the result is independent of
+    Spark's reduction order). The generator is fully seeded and the
+    codecs are ours, so the expected aggregate is a constant; the oracle
+    pins it as a DuckDB VALUES literal — the strongest available check
+    for a pipeline whose decode DuckDB cannot express. sf_dir is unused
+    by design (the media table is synthetic at every SF)."""
+    from datafusion_orc_spark.functions.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    feats = extract_features(synthetic_media(spark, _MEDIA_ROWS, seed=42))
+    quant = F.aggregate(
+        F.transform(
+            "feature",
+            lambda x: F.floor(x.cast("double") * 1000.0 + F.lit(0.5)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        feats.select("kind", "n_bytes", quant.alias("feat_q"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("payload_bytes"),
+            F.sum("feat_q").alias("feature_q_sum"),
+        )
+        .orderBy("kind")
+    )
+
+
+# Pinned from the seeded generator (n=240, seed=42): regenerated by
+# jobs/pin_media_oracle.py — rerun it if FEATURE_DIM, the codecs, or the
+# generator change (the query docstring explains why a literal oracle).
+SQL_MEDIA_FEATURES = """
+SELECT * FROM (VALUES
+  ('audio', CAST(80 AS BIGINT), CAST(529856 AS BIGINT), CAST(155764 AS BIGINT)),
+  ('image', CAST(80 AS BIGINT), CAST(224286 AS BIGINT), CAST(440834 AS BIGINT)),
+  ('video', CAST(80 AS BIGINT), CAST(304231 AS BIGINT), CAST(249225 AS BIGINT))
+) AS t(kind, n_media, payload_bytes, feature_q_sum) ORDER BY kind
+"""
+
+
+# Production-geometry MinHash LSH (verdict r6 task #4): bands x rows
+# free parameters. Permutation (a, b) pairs come from a deterministic
+# LCG; the band bucket combines its rows' minhash values with a
+# BIGINT-safe rolling hash (31x mod 2^43) computed IDENTICALLY in both
+# dialects, so buckets match exactly. Candidate probability at Jaccard
+# similarity s is 1 - (1 - s^R)^B: the 8x2 default fires at ~50% for
+# s=0.5 and >99.9% for s=0.9 — a real near-dup operating point, vs the
+# fixture-sized 4x1 of dedup_minhash.
+_BANDED_BUCKET_MOD = 1 << 43
+
+
+def _minhash_perm(i: int) -> tuple[int, int]:
+    a = ((1103515245 * (i + 1) + 12345) % (1 << 31)) | 1
+    b = (22695477 * (i + 7) + 1) % (1 << 31)
+    return a, b
+
+
+def q_dedup_minhash_banded(
+    spark: SparkSession, sf_dir: str, bands: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = dl.tokens(SPARK)
+    sel = [F.col("doc_id")]
+    for i in range(bands * rows_per_band):
+        a, b = _minhash_perm(i)
+        sel.append(F.expr(dl.minhash(SPARK, toks, a, b)).alias(f"mh{i}"))
+    sig = docs.select(*sel)
+    bands_df = None
+    for bi in range(bands):
+        bucket = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            mh = F.col(f"mh{bi * rows_per_band + r}")
+            bucket = (bucket * 31 + mh) % _BANDED_BUCKET_MOD
+        band = sig.select(F.lit(bi).alias("band"), bucket.alias("bucket"))
+        bands_df = band if bands_df is None else bands_df.unionAll(band)
+    return (
+        bands_df.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("band", "bucket")
+    )
+
+
+def _sql_dedup_minhash_banded(bands: int = 8, rows_per_band: int = 2) -> str:
+    toks = dl.tokens(DUCK)
+    parts = []
+    for bi in range(bands):
+        expr = "CAST(0 AS BIGINT)"
+        for r in range(rows_per_band):
+            a, b = _minhash_perm(bi * rows_per_band + r)
+            mh = dl.minhash(DUCK, toks, a, b)
+            expr = f"(({expr}) * 31 + ({mh})) % {_BANDED_BUCKET_MOD}"
+        parts.append(f"SELECT {bi} AS band, {expr} AS bucket FROM documents")
+    union = " UNION ALL ".join(parts)
+    return (
+        f"SELECT band, bucket, COUNT(*) AS n_docs FROM ({union}) "
+        f"GROUP BY band, bucket HAVING COUNT(*) >= 2 ORDER BY band, bucket"
+    )
+
+
+SQL_DEDUP_MINHASH_BANDED = _sql_dedup_minhash_banded()
+
+
+def q_orc_string_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-key bloom point lookup (verdict r6 task #5): the Murmur3
+    path of codecs/bloom.py end-to-end. Tokenized sequences (doc_id is a
+    high-cardinality 'doc-############' string) are hash-shuffled before
+    the distributed ORC write so every stripe's doc_id min/max spans the
+    whole domain — min/max stats cannot discriminate a point predicate —
+    then written with a BLOOM_FILTER_UTF8 stream on doc_id. The read
+    pushes the point predicate down; surviving row groups come from the
+    string bloom (Murmur3-64, seed 104729), and the exact predicate is
+    re-applied on decoded rows. The probed key is the MAX doc_id — the
+    lpad re-keying makes lexicographic max == numeric max, so both
+    dialects compute the same needle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from datafusion_orc_spark import FORMAT_VERSION
+    from datafusion_orc_spark.sources.orc_sink import write_orc_distributed
+    from datafusion_orc_spark.sources.orc_source import read_orc_distributed
+    from datafusion_orc_spark.sources.tokens import tokenized_sequences
+
+    seqs = tokenized_sequences(spark, sf_dir).select("doc_id", "n_tok", "source")
+    key = seqs.agg(F.max("doc_id")).collect()[0][0]
+    tag = hashlib.md5(f"{sf_dir}:v{FORMAT_VERSION}:strbloom".encode()).hexdigest()[:8]
+    out = f"{tempfile.gettempdir()}/dos_orc_strbloom_{tag}"
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        stats = write_orc_distributed(
+            seqs.repartition(2), out, stripe_rows=16384, compression="snappy",
+            row_index_stride=4096, bloom_filter_columns=["doc_id"],
+        ).collect()
+        assert sum(r["n_rows"] for r in stats) > 0
+        open(os.path.join(out, "_DONE"), "w").close()
+    df = read_orc_distributed(spark, out, prune={"doc_id": (key, key)})
+    df.createOrReplaceTempView("seqs_strbloom")
+    return spark.sql(
+        "SELECT doc_id, COUNT(*) AS n, CAST(SUM(n_tok) AS BIGINT) AS sum_tok "
+        f"FROM seqs_strbloom WHERE doc_id = '{key}' GROUP BY doc_id"
+    )
+
+
+SQL_ORC_STRING_LOOKUP = f"""
+WITH seq AS (
+  SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+         len({dl.tokens(DUCK)}) AS n_tok
+  FROM documents
+)
+SELECT doc_id, COUNT(*) AS n, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+FROM seq WHERE doc_id = (SELECT MAX(doc_id) FROM seq) GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # relational parity
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -2203,4 +2433,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
     "ann_recall_ivf": (q_ann_recall_ivf, SQL_ANN_RECALL_IVF),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    # streaming + multimodal (r7: every shipped component oracled)
+    "streaming_roundtrip": (q_streaming_roundtrip, SQL_ROUNDTRIP_TOKENS_AGG),
+    "media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    # production-geometry dedup + string bloom lookup (r7)
+    "dedup_minhash_banded": (q_dedup_minhash_banded, SQL_DEDUP_MINHASH_BANDED),
+    "orc_string_lookup": (q_orc_string_lookup, SQL_ORC_STRING_LOOKUP),
 }
