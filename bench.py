@@ -71,10 +71,10 @@ DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "240000"))
 
 
-def build_session(cpus: int, master: str | None = None):
+def build_session(cpus: int, master: str | None = None, extra_conf: dict | None = None):
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName("datafusion-orc-spark-bench")
         # executor JVMs (local-cluster mode) must inherit the allocator
@@ -102,8 +102,10 @@ def build_session(cpus: int, master: str | None = None):
         # tokens each) need batch_rows*4KB*tasks of heap; 4096-row default
         # OOMs a 4g pre-touched heap, 1024 keeps the scan ~4MB/task
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
 
 
 def materialize_tokens(spark, n_rows: int | None = None) -> str:
@@ -485,7 +487,7 @@ def main() -> None:
             return [int(x) for x in f.readline().split()[1:]]
 
     def measure_exec_config(path, n_exec, n_cores, warmups=2, runs=3, diag=None, discard=False,
-                            jobs_per_wall=1, floors=None):
+                            jobs_per_wall=1, floors=None, extra_conf=None):
         """One local-cluster[n_exec,n_cores,*] session: warmups untimed,
         then ``runs`` measured walls (worker spawn + arena faults must
         never land in the measured window). When ``diag`` is a list, a
@@ -504,7 +506,9 @@ def main() -> None:
         but does NOT amortize the dispatch floor (each job pays it);
         wall-level and task-level efficiencies are published side by
         side instead."""
-        lspark = build_session(CPUS, master=f"local-cluster[{n_exec},{n_cores},2048]")
+        lspark = build_session(
+            CPUS, master=f"local-cluster[{n_exec},{n_cores},2048]", extra_conf=extra_conf
+        )
         lspark.sparkContext.setLogLevel("ERROR")
         walls = []
         try:
@@ -709,6 +713,30 @@ def main() -> None:
                 / (hi_n / lo_n),
                 3,
             )
+            # scheduling-policy control (r6 verdict task #7): one extra
+            # pair round with spark.locality.wait=0 and AQE off. If the
+            # dispatch floor and the pair reading are unchanged, the
+            # measured per-job floor is RPC/commit cost, not locality
+            # scheduling or adaptive re-planning policy.
+            ctl_conf = {
+                "spark.locality.wait": "0",
+                "spark.sql.adaptive.enabled": "false",
+            }
+            ctl_floors: dict[str, list[float]] = {}
+            ctl_walls: dict[int, list[float]] = {lo_n: [], hi_n: []}
+            for n_exec in (lo_n, hi_n):
+                ctl_walls[n_exec] += measure_exec_config(
+                    tokens_path, n_exec, 2, warmups=1, runs=2,
+                    floors=ctl_floors, extra_conf=ctl_conf,
+                )
+            ex["control_no_locality_no_aqe"] = {
+                "dispatch_floor_walls": ctl_floors,
+                f"executors_{lo_n}_walls": ctl_walls[lo_n],
+                f"executors_{hi_n}_walls": ctl_walls[hi_n],
+                f"efficiency_exec_{lo_n}_{hi_n}": round(
+                    min(ctl_walls[lo_n]) / min(ctl_walls[hi_n]) / (hi_n / lo_n), 3
+                ),
+            }
             hw_med = _stats.median(hw_samples)
             ex["hw_bw_scaling_pair"] = hw_samples
             # engine scaling normalized by the hardware's own curve in

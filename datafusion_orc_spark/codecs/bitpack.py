@@ -121,6 +121,28 @@ def bit_pack(vals: np.ndarray, width: int) -> bytes:
     return np.packbits(bits.reshape(-1)).tobytes()
 
 
+def bit_pack_view(vals: np.ndarray, width: int) -> bytes | memoryview:
+    """bit_pack that may return a memoryview instead of bytes.
+
+    For byte-aligned power-of-two widths (the token-stream hot path) the
+    big-endian ``astype`` array IS the packed stream — returning its
+    buffer skips the ``tobytes()`` copy (one full read+write of the
+    packed stream per stripe). Only for callers that treat the result as
+    an opaque buffer (len / join / slice); callers that concatenate with
+    ``bytes +`` need bit_pack."""
+    n = len(vals)
+    if n and width in (8, 16, 32, 64):
+        if vals.dtype == np.uint32 and width <= 32:
+            u = np.ascontiguousarray(vals)
+        else:
+            u = np.ascontiguousarray(vals, dtype=np.uint64)
+        be = {8: np.uint8, 16: ">u2", 32: ">u4", 64: ">u8"}[width]
+        # uint8 view first so len(memoryview) == byte count (a '>u2'
+        # view would report element count and corrupt stream headers)
+        return u.astype(be).view(np.uint8).data
+    return bit_pack(vals, width)
+
+
 def bit_unpack(buf: bytes | np.ndarray, width: int, n: int, offset_bits: int = 0) -> np.ndarray:
     """Unpack ``n`` unsigned values of ``width`` bits, MSB-first.
 

@@ -68,13 +68,12 @@ def pfor_encode(vals: np.ndarray) -> tuple[bytes, bytes, bytes, bytes] | None:
     w, _bits = choose_pfor_width(widths, wm)
     if w >= wm:
         return None
-    exc_mask = widths > w
-    n_exc = int(exc_mask.sum())
-    mask = u_dt((1 << w) - 1)
-    data = bit_pack(reduced & mask, w)
-    pos = np.flatnonzero(exc_mask).astype(np.int64)
+    pos = np.flatnonzero(widths > w).astype(np.int64)
+    n_exc = len(pos)
+    # bit_pack truncates to ``w`` bits itself — no masking copy needed
+    data = bit_pack(reduced, w)
     exc_pos = rle_v2_encode(pos, signed=False)
-    high = (reduced[exc_mask] >> u_dt(w)).astype(np.uint64)
+    high = (reduced[pos] >> u_dt(w)).astype(np.uint64)
     exc_high = bit_pack(high, wm - w)
     meta = (
         varint_encode_scalar(zigzag_scalar(base))

@@ -25,6 +25,7 @@ import numpy as np
 
 from datafusion_orc_spark.codecs.bitpack import (
     bit_pack,
+    bit_pack_view,
     bit_unpack,
     bit_widths,
     closest_fixed_width,
@@ -82,6 +83,21 @@ def sorted_pos_decode(buf: bytes, n: int) -> np.ndarray:
     return out
 
 
+# per-process literal scratch (one per dtype): reused across stripes so
+# the gap-slice concatenate writes into already-faulted pages. Safe:
+# Spark python workers run one task at a time, and the literal view is
+# fully consumed (bit-packed) before runfor_encode returns.
+_LIT_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _lit_scratch(dtype: np.dtype, n: int) -> np.ndarray:
+    buf = _LIT_SCRATCH.get(dtype.char)
+    if buf is None or len(buf) < n:
+        buf = np.empty(max(n, int(n * 1.25)), dtype=dtype)
+        _LIT_SCRATCH[dtype.char] = buf
+    return buf[:n]
+
+
 def runfor_encode(
     vals: np.ndarray, vmin: int | None = None, vmax: int | None = None
 ) -> dict[int, bytes]:
@@ -134,7 +150,11 @@ def runfor_encode(
     elif len(r_pos) <= 4096:
         # few long runs (the token-stream shape): literals are the gap
         # slices between runs — one np.concatenate memcpy instead of a
-        # coverage mask + invert + boolean fancy-select (3 full passes)
+        # coverage mask + invert + boolean fancy-select (3 full passes).
+        # The copy lands in a REUSED per-process scratch buffer: a fresh
+        # ~100 MB allocation per stripe pays first-touch page faults on
+        # every call (the dominant cost of this phase on ballooned
+        # hosts); warm scratch pages stay mapped across stripes.
         segs = []
         pos = 0
         for p, ln in zip(r_pos.tolist(), r_len.tolist()):
@@ -143,7 +163,11 @@ def runfor_encode(
             pos = p + ln
         if pos < n:
             segs.append(v[pos:])
-        lit = np.concatenate(segs) if segs else v[:0]
+        if segs:
+            n_gap = n - int(r_len.sum())
+            lit = np.concatenate(segs, out=_lit_scratch(v.dtype, n_gap))
+        else:
+            lit = v[:0]
     else:
         lit = v[~_coverage_mask(n, r_pos, r_len)]
     n_lit = len(lit)
@@ -179,18 +203,27 @@ def runfor_encode(
         widths = bit_widths(sample)
         w, _bits = choose_pfor_width(widths, wm)
         if w < wm:
-            exc_mask = reduced >= u_dt(1 << w) if w < 8 * reduced.dtype.itemsize else np.zeros(n_lit, bool)
-            n_exc = int(exc_mask.sum())
+            # one pass: flatnonzero(compare) replaces the old
+            # mask-then-sum-then-flatnonzero-then-boolean-gather chain
+            # (three full scans of the bool temp); bit_pack itself
+            # truncates to ``w`` bits in every layout path, so the old
+            # ``reduced & mask`` copy (r+w of the whole literal array)
+            # was pure waste — dropped (r7 scaling fix)
+            exc_idx = (
+                np.flatnonzero(reduced >= u_dt(1 << w))
+                if w < 8 * reduced.dtype.itemsize
+                else np.empty(0, dtype=np.int64)
+            )
+            n_exc = len(exc_idx)
             if not n_exc:
                 w = wm  # sample saw outliers the full data lacks
-            mask = u_dt((1 << w) - 1) if w < reduced.dtype.itemsize * 8 else ~u_dt(0)
-            streams[LIT] = bit_pack(reduced & mask if n_exc else reduced, w)
+            streams[LIT] = bit_pack_view(reduced, w)
             if n_exc:
-                streams[EXC_POS] = sorted_pos_encode(np.flatnonzero(exc_mask).astype(np.int64))
-                streams[EXC_HIGH] = bit_pack((reduced[exc_mask] >> u_dt(w)).astype(np.uint64), wm - w)
+                streams[EXC_POS] = sorted_pos_encode(exc_idx.astype(np.int64))
+                streams[EXC_HIGH] = bit_pack((reduced[exc_idx] >> u_dt(w)).astype(np.uint64), wm - w)
         else:
             w = wm
-            streams[LIT] = bit_pack(reduced, w)
+            streams[LIT] = bit_pack_view(reduced, w)
 
     streams[META] = (
         varint_encode_scalar(len(r_pos))

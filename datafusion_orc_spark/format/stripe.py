@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from datafusion_orc_spark.codecs.bitpack import bit_pack, bit_unpack, closest_fixed_width
+from datafusion_orc_spark.codecs.bitpack import bit_pack, bit_pack_view, bit_unpack, closest_fixed_width
 from datafusion_orc_spark.codecs.byterle import bool_rle_decode, bool_rle_encode
 from datafusion_orc_spark.codecs.rlev2 import rle_v2_decode, rle_v2_encode
 from datafusion_orc_spark.codecs.selector import choose_int_codec, choose_string_codec
@@ -227,7 +227,7 @@ def _encode_for_bp(vals: np.ndarray, vmin: int | None = None, vmax: int | None =
             reduced = (vals - vals.dtype.type(mn)).view(u_dt)
     width = closest_fixed_width(max(1, (mx - mn).bit_length())) if len(vals) else 1
     meta = varint_encode_signed(np.array([mn], dtype=np.int64)) + bytes([width])
-    return meta, bit_pack(reduced, width)
+    return meta, bit_pack_view(reduced, width)
 
 
 def _decode_for_bp(meta: bytes, data: bytes, n: int) -> np.ndarray:
@@ -455,7 +455,7 @@ def encode_column(
     if pa.types.is_floating(typ):
         vals = dense.to_numpy(zero_copy_only=False)
         raw = np.ascontiguousarray(vals)
-        return fin("float_raw", [(K_DATA, raw.tobytes())], raw)
+        return fin("float_raw", [(K_DATA, raw.view(np.uint8).data)], raw)
 
     if pa.types.is_string(typ) or pa.types.is_large_string(typ) or pa.types.is_binary(typ):
         blob, lengths = _binary_parts(dense)
@@ -514,7 +514,7 @@ def encode_column(
             fvals = np.ascontiguousarray(flat.to_numpy(zero_copy_only=False))
             return fin("arr_float_raw", [
                 (K_LENGTH, rle_v2_encode(lengths, signed=False)),
-                (K_DATA, fvals.tobytes()),
+                (K_DATA, fvals.view(np.uint8).data),
             ], fvals, lengths)
 
     # fallback: Arrow IPC round-trip for any type (incl. struct/map/decimal)

@@ -682,6 +682,164 @@ def decode_table(
     return out.filter(where) if where is not None else out
 
 
+DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("part_id", IntegerType(), False),
+        StructField("n_files", IntegerType(), False),
+        StructField("rows", LongType(), False),
+        StructField("bytes_written", LongType(), False),
+    ]
+)
+
+
+def decode_to_files(
+    blobs_df: DataFrame,
+    spark_schema,
+    output_dir: str,
+    columns: list[str] | None = None,
+    prune: dict[str, tuple[int, int]] | None = None,
+    bytes_per_file: int = 256 * 1024 * 1024,
+    compression: str = "snappy",
+    schema: pa.Schema | None = None,
+) -> DataFrame:
+    """Partition-local decode that writes the decoded rows to parquet
+    part files from INSIDE the task — the encode_files write path
+    applied to the decode direction. Decoded rows never cross into the
+    JVM (no Arrow transfer, no per-batch Spark write job, no commit
+    protocol): each task streams its stripes through ONE open
+    ParquetWriter (a row group per decoded stripe, byte-rolled at
+    ``bytes_per_file``) and returns a single stats row. This is the
+    streaming sink's fast path (start_incremental_decode sink="files"),
+    where the foreachBatch ``rows.write.parquet`` job was measured at
+    >50% of the micro-batch wall (BENCH r6 sink-mode sweep).
+    Files stage through attempt-suffixed tmp names and rename on close,
+    so retries/speculation never interleave and readers see only
+    complete files."""
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from datafusion_orc_spark.format.stripe import decode_stripe, prune_row_ranges
+    from datafusion_orc_spark.sources.objectstore import LocalStore, resolve_store
+
+    _ensure_workers_can_import(blobs_df)
+    if schema is None:
+        schema = to_arrow_schema(spark_schema)
+    names = columns if columns is not None else list(schema.names)
+    if prune:
+        keep = None
+        for col, (lo, hi) in prune.items():
+            cond = (
+                (F.col("column") == col)
+                & (F.col("vmax") >= F.lit(int(lo)))
+                & (F.col("vmin") <= F.lit(int(hi)))
+            )
+            ids = blobs_df.filter(cond).select("stripe_id")
+            keep = ids if keep is None else keep.join(ids, "stripe_id")
+        blobs_df = blobs_df.join(F.broadcast(keep.distinct()), "stripe_id")
+    if columns is not None:
+        blobs_df = blobs_df.filter(F.col("column").isin(columns))
+    expected = set(names)
+    proj = pa.schema([schema.field(nm) for nm in names])
+    prune_cols = dict(prune) if prune else None
+
+    def dec_write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow as _pa
+
+        _pa.set_cpu_count(1)  # no per-worker thread-pool oversubscription
+        out_store, out_path = resolve_store(output_dir)
+        out_store.makedirs(out_path)
+        tc = TaskContext.get()
+        part_id, attempt = tc.partitionId(), tc.attemptNumber()
+        local = isinstance(out_store, LocalStore)
+
+        writer = writer_fh = writer_tmp = None
+        written_bytes = 0
+        total_bytes = 0  # raw Arrow bytes streamed through the writer
+        file_seq = 0
+        n_files = 0
+        n_rows = 0
+
+        def _open():
+            nonlocal writer, writer_fh, writer_tmp
+            name = f"part-{part_id:05d}-{file_seq:03d}.parquet"
+            if local:
+                writer_tmp = f"{out_path}/.{name}.attempt{attempt}.tmp"
+                sink = writer_tmp
+            else:
+                writer_fh = out_store.open_output(f"{out_path}/{name}")
+                sink = writer_fh
+            writer = pq.ParquetWriter(sink, proj, compression=compression)
+
+        def _close():
+            nonlocal writer, writer_fh, writer_tmp, written_bytes, file_seq, n_files, total_bytes
+            if writer is None:
+                return
+            total_bytes += written_bytes
+            writer.close()
+            if writer_fh is not None:
+                writer_fh.close()
+                writer_fh = None
+            if writer_tmp is not None:
+                name = f"part-{part_id:05d}-{file_seq:03d}.parquet"
+                out_store.rename(writer_tmp, f"{out_path}/{name}")
+                writer_tmp = None
+            writer = None
+            written_bytes = 0
+            file_seq += 1
+            n_files += 1
+
+        def _emit(batch: pa.RecordBatch):
+            nonlocal written_bytes, n_rows
+            if writer is None:
+                _open()
+            writer.write_table(pa.Table.from_batches([batch], schema=proj))
+            written_bytes += batch.nbytes
+            n_rows += batch.num_rows
+            if written_bytes >= bytes_per_file:
+                _close()
+
+        pending: dict[int, dict[str, bytes]] = {}
+        total_in = 0
+        for b in batches:
+            sids = b.column("stripe_id").to_pylist()
+            cols = b.column("column").to_pylist()
+            data = b.column("data").to_pylist()
+            for sid, col, blob in zip(sids, cols, data):
+                if col not in expected:
+                    continue
+                got = pending.setdefault(sid, {})
+                got[col] = blob
+                if len(got) == len(expected):
+                    ranges = None
+                    if prune_cols:
+                        ranges = prune_row_ranges(got, prune_cols)
+                    if ranges != []:
+                        batch = decode_stripe(got, schema, columns=names, row_ranges=ranges)
+                        if batch is not None:
+                            _emit(batch)
+                    del pending[sid]
+                    total_in += 1
+        if pending:
+            raise ValueError(
+                f"decode_to_files: stripes {sorted(pending)[:8]} are missing "
+                f"columns within their partition — the blob table was "
+                f"repartitioned after encode; decode with decode_table(shuffle=True)"
+            )
+        _close()
+        yield pa.record_batch(
+            [
+                pa.array([part_id], pa.int32()),
+                pa.array([n_files], pa.int32()),
+                pa.array([n_rows], pa.int64()),
+                pa.array([total_bytes], pa.int64()),
+            ],
+            names=["part_id", "n_files", "rows", "bytes_written"],
+        )
+
+    return blobs_df.mapInArrow(dec_write, DECODE_STATS_SCHEMA)
+
+
 def verify_roundtrip(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS) -> tuple[bool, dict]:
     """Encode -> decode -> order-insensitive equality vs the input.
 

@@ -92,13 +92,27 @@ def start_incremental_decode(
     the encode stream), so latency evidence comes from the stream
     itself.
 
-    ``sink``: "parquet" (default) appends each decoded batch under
-    ``output_dir/batch=<id>``; "count" fully materializes the decode but
-    discards the rows (a count aggregate), for deployments whose
-    downstream is compute rather than storage — it isolates the stream's
-    decode rate from the append cost."""
-    from datafusion_orc_spark.operators.encode import BLOB_SCHEMA, decode_table
+    ``sink``: "files" (the fast path) decodes AND writes parquet from
+    inside each task via decode_to_files — decoded rows never cross into
+    the JVM and there is no per-batch Spark write job or commit
+    protocol, only a tiny stats collect (the encode_files write-path
+    lesson; the r6 sink-mode sweep measured the foreachBatch
+    ``rows.write.parquet`` at >50% of the micro-batch wall). "parquet"
+    is the classic JVM append under ``output_dir/batch=<id>``; "count"
+    fully materializes the decode but discards the rows (a count
+    aggregate), for deployments whose downstream is compute rather than
+    storage — it isolates the stream's decode rate from the append cost."""
+    from datafusion_orc_spark.operators.encode import (
+        BLOB_SCHEMA,
+        decode_table,
+        decode_to_files,
+    )
 
+    if sink == "files" and where is not None:
+        raise ValueError(
+            "sink='files' does not apply residual row filters; use "
+            "sink='parquet' with where=, or filter downstream"
+        )
     os.makedirs(output_dir, exist_ok=True)
     reader = (
         spark.readStream.schema(BLOB_SCHEMA)
@@ -112,6 +126,23 @@ def start_incremental_decode(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.time()
         batch_dir = os.path.join(output_dir, f"batch={batch_id}")
+        if sink == "files":
+            # in-task decode+write: one job, stats rows only; file-
+            # granular micro-batches keep stripes partition-co-located
+            # (same assumption the shuffle=False path asserts)
+            stats = decode_to_files(batch_df, spark_schema, batch_dir).collect()
+            wall = round(time.time() - t0, 3)
+            with open(os.path.join(output_dir, f"_lineage_batch_{batch_id}.json"), "w") as f:
+                json.dump(
+                    {
+                        "batch_id": batch_id,
+                        "wall_sec": wall,
+                        "out_rows": sum(r["rows"] for r in stats),
+                        "n_files": sum(r["n_files"] for r in stats),
+                    },
+                    f,
+                )
+            return
         # File-granular micro-batches keep each stripe's blob rows inside
         # one scan partition (encode writes them contiguously and blob
         # part files are far below maxPartitionBytes), so the default is

@@ -113,6 +113,11 @@ def main() -> None:
     run_level(spark, schema, blob_dir, 0)
 
     levels = [run_level(spark, schema, blob_dir, sz) for sz in sizes]
+    # in-task files sink (r7): decode+parquet-write inside each task via
+    # decode_to_files — no JVM row transfer, no per-batch Spark write job
+    levels += [
+        run_level(spark, schema, blob_dir, sz, sink="files") for sz in sizes
+    ]
     # compute-sink levels: same stream, rows fully materialized but not
     # appended — the engine's streaming decode rate with the storage-sink
     # cost factored out (a downstream-is-compute deployment)
