@@ -98,6 +98,64 @@ def _lit_scratch(dtype: np.dtype, n: int) -> np.ndarray:
     return buf[:n]
 
 
+_FUSED_BE = {8: np.uint8, 16: ">u2", 32: ">u4", 64: ">u8"}
+_FUSED_CHUNK = 1 << 18  # values per chunk: keeps convert+scan in cache
+_FUSED_MIN_LIT = 65536  # below this the classic path costs nothing anyway
+
+
+def _gap_sample(v: np.ndarray, u_dt, seg_bounds: list[tuple[int, int]]) -> np.ndarray:
+    """Every 16th LITERAL value (global literal-coordinate stride, so the
+    result equals concatenated_literals[::16] exactly — width choice, and
+    therefore every output byte, matches the unfused path)."""
+    parts = []
+    lit_pos = 0
+    for a, b in seg_bounds:
+        skip = (-lit_pos) % 16
+        if a + skip < b:
+            parts.append(v[a + skip:b:16].view(u_dt))
+        lit_pos += b - a
+    return np.concatenate(parts) if parts else v[:0].view(u_dt)
+
+
+def _fused_gap_pack(
+    v: np.ndarray,
+    u_dt,
+    seg_bounds: list[tuple[int, int]],
+    n_lit: int,
+    w: int,
+    scan_exc: bool = True,
+) -> tuple[memoryview, np.ndarray, np.ndarray]:
+    """One cache-resident pass per ~1 MB chunk of each literal segment:
+    truncating big-endian convert-copy straight into the final packed
+    buffer (byte-aligned widths only) + exception scan on the still-warm
+    chunk. -> (LIT stream view, exc positions in literal coords int64,
+    exc high bits uint64)."""
+    out = np.empty(n_lit, dtype=_FUSED_BE[w])
+    lim = u_dt(1) << u_dt(w) if (scan_exc and w < 8 * u_dt(0).itemsize) else None
+    exc_pos_parts: list[np.ndarray] = []
+    exc_high_parts: list[np.ndarray] = []
+    a_out = 0
+    for s0, s1 in seg_bounds:
+        for c0 in range(s0, s1, _FUSED_CHUNK):
+            c1 = min(c0 + _FUSED_CHUNK, s1)
+            seg = v[c0:c1].view(u_dt)
+            m = c1 - c0
+            np.copyto(out[a_out:a_out + m], seg, casting="unsafe")
+            if lim is not None:
+                e = np.flatnonzero(seg >= lim)
+                if len(e):
+                    exc_pos_parts.append(e.astype(np.int64) + a_out)
+                    exc_high_parts.append((seg[e] >> u_dt(w)).astype(np.uint64))
+            a_out += m
+    exc_idx = (
+        np.concatenate(exc_pos_parts) if exc_pos_parts else np.empty(0, np.int64)
+    )
+    exc_high = (
+        np.concatenate(exc_high_parts) if exc_high_parts else np.empty(0, np.uint64)
+    )
+    return out.view(np.uint8).data, exc_idx, exc_high
+
+
 def runfor_encode(
     vals: np.ndarray, vmin: int | None = None, vmax: int | None = None
 ) -> dict[int, bytes]:
@@ -145,32 +203,38 @@ def runfor_encode(
             ok = np.minimum.reduceat(eq, offs) if len(offs) else np.empty(0, bool)
             r_pos, r_len = r_pos[ok], r_len[ok]
 
+    # literal SEGMENT BOUNDS (the gaps between runs); materialization is
+    # deferred — the fused path below never builds the concatenated
+    # literal array at all
+    n_lit = n - int(r_len.sum())
     if len(r_pos) == 0:
-        lit = v
+        seg_bounds: list[tuple[int, int]] | None = [(0, n)]
     elif len(r_pos) <= 4096:
-        # few long runs (the token-stream shape): literals are the gap
-        # slices between runs — one np.concatenate memcpy instead of a
-        # coverage mask + invert + boolean fancy-select (3 full passes).
-        # The copy lands in a REUSED per-process scratch buffer: a fresh
-        # ~100 MB allocation per stripe pays first-touch page faults on
-        # every call (the dominant cost of this phase on ballooned
-        # hosts); warm scratch pages stay mapped across stripes.
-        segs = []
+        seg_bounds = []
         pos = 0
         for p, ln in zip(r_pos.tolist(), r_len.tolist()):
             if p > pos:
-                segs.append(v[pos:p])
+                seg_bounds.append((pos, p))
             pos = p + ln
         if pos < n:
-            segs.append(v[pos:])
-        if segs:
-            n_gap = n - int(r_len.sum())
-            lit = np.concatenate(segs, out=_lit_scratch(v.dtype, n_gap))
-        else:
-            lit = v[:0]
+            seg_bounds.append((pos, n))
     else:
-        lit = v[~_coverage_mask(n, r_pos, r_len)]
-    n_lit = len(lit)
+        seg_bounds = None  # many-runs shape: coverage-mask fallback
+
+    def _materialize_lit() -> np.ndarray:
+        if seg_bounds is None:
+            return v[~_coverage_mask(n, r_pos, r_len)]
+        if len(seg_bounds) == 1 and seg_bounds[0] == (0, n):
+            return v
+        if not seg_bounds:
+            return v[:0]
+        # few long runs (the token-stream shape): gap-slice concatenate
+        # into a REUSED per-process scratch buffer — one memcpy instead
+        # of a coverage mask + invert + boolean fancy-select (3 full
+        # passes), and no fresh ~100 MB first-touch allocation per stripe
+        return np.concatenate(
+            [v[a:b] for a, b in seg_bounds], out=_lit_scratch(v.dtype, n_lit)
+        )
 
     streams: dict[int, bytes] = {}
     if len(r_pos):
@@ -178,52 +242,95 @@ def runfor_encode(
         streams[RUN_LEN] = rle_v2_encode(r_len, signed=False)
         streams[RUN_VAL] = rle_v2_encode(v[r_pos].astype(np.int64), signed=True)
 
-    base = int(vmin) if vmin is not None else (int(lit.min()) if n_lit else 0)
+    base = int(vmin) if vmin is not None else None
     w = wm = 1
     n_exc = 0
     if n_lit:
-        u_dt = np.uint32 if lit.dtype == np.int32 else np.uint64
-        if base == 0:
-            # all-non-negative with base 0: the unsigned view IS the
-            # reduced array — skips a full subtract+write pass (token
-            # streams always take this branch)
-            reduced = lit.view(u_dt)
-        else:
-            with np.errstate(over="ignore"):
-                reduced = (lit - lit.dtype.type(base)).view(u_dt)
-        # width choice from a 1-in-16 SAMPLE histogram (a slightly
-        # off-optimal w only costs size, never correctness — exceptions
-        # absorb every value >= 2^w); wm comes from the exact max (or the
-        # caller's column max, an upper bound — avoids another pass)
-        if vmax is not None and vmin is not None:
-            wm = closest_fixed_width(max(1, (int(vmax) - base).bit_length()))
-        else:
-            wm = closest_fixed_width(max(1, int(reduced.max()).bit_length()))
-        sample = reduced[::16] if n_lit > 65536 else reduced
-        widths = bit_widths(sample)
-        w, _bits = choose_pfor_width(widths, wm)
-        if w < wm:
-            # one pass: flatnonzero(compare) replaces the old
-            # mask-then-sum-then-flatnonzero-then-boolean-gather chain
-            # (three full scans of the bool temp); bit_pack itself
-            # truncates to ``w`` bits in every layout path, so the old
-            # ``reduced & mask`` copy (r+w of the whole literal array)
-            # was pure waste — dropped (r7 scaling fix)
-            exc_idx = (
-                np.flatnonzero(reduced >= u_dt(1 << w))
-                if w < 8 * reduced.dtype.itemsize
-                else np.empty(0, dtype=np.int64)
-            )
-            n_exc = len(exc_idx)
-            if not n_exc:
-                w = wm  # sample saw outliers the full data lacks
-            streams[LIT] = bit_pack_view(reduced, w)
-            if n_exc:
-                streams[EXC_POS] = sorted_pos_encode(exc_idx.astype(np.int64))
-                streams[EXC_HIGH] = bit_pack((reduced[exc_idx] >> u_dt(w)).astype(np.uint64), wm - w)
-        else:
-            w = wm
-            streams[LIT] = bit_pack_view(reduced, w)
+        u_dt = np.uint32 if v.dtype == np.int32 else np.uint64
+        # FUSED cache-resident path (r7, the 2->8 scaling fix): when
+        # base==0 with known bounds, big literal counts, gap segments,
+        # and a byte-aligned width, each ~1 MB chunk is convert-copied
+        # straight into the final big-endian buffer (bit_pack's astype
+        # truncation IS the masking) and exception-scanned while still
+        # cache-warm. DRAM traffic for extract+pack+exc-scan drops from
+        # ~18 bytes/token to ~6 (read v once, write the packed stream
+        # once); output bytes are IDENTICAL to the unfused path (the
+        # width sample below reproduces lit[::16] exactly, stride
+        # aligned across segment boundaries).
+        fused_done = False
+        if (
+            base == 0
+            and vmax is not None
+            and seg_bounds is not None
+            and n_lit > _FUSED_MIN_LIT
+        ):
+            wm = closest_fixed_width(max(1, int(vmax).bit_length()))
+            sample = _gap_sample(v, u_dt, seg_bounds)
+            w, _bits = choose_pfor_width(bit_widths(sample), wm)
+            if w < wm and w in (8, 16, 32):
+                lit_view, exc_idx, exc_high = _fused_gap_pack(
+                    v, u_dt, seg_bounds, n_lit, w
+                )
+                n_exc = len(exc_idx)
+                if n_exc:
+                    streams[LIT] = lit_view
+                    streams[EXC_POS] = sorted_pos_encode(exc_idx)
+                    streams[EXC_HIGH] = bit_pack(exc_high, wm - w)
+                    fused_done = True
+                # n_exc == 0 means vmax was an over-bound (the sample saw
+                # outliers the data lacks): fall through to the classic
+                # path, which packs at wm
+            elif w >= wm and wm in (8, 16, 32, 64):
+                w = wm
+                lit_view, _ei, _eh = _fused_gap_pack(
+                    v, u_dt, seg_bounds, n_lit, wm, scan_exc=False
+                )
+                streams[LIT] = lit_view
+                fused_done = True
+        if not fused_done:
+            lit = _materialize_lit()
+            if base is None:
+                base = int(lit.min())
+            if base == 0:
+                # all-non-negative with base 0: the unsigned view IS the
+                # reduced array — skips a full subtract+write pass
+                reduced = lit.view(u_dt)
+            else:
+                with np.errstate(over="ignore"):
+                    reduced = (lit - lit.dtype.type(base)).view(u_dt)
+            # width choice from a 1-in-16 SAMPLE histogram (a slightly
+            # off-optimal w only costs size, never correctness —
+            # exceptions absorb every value >= 2^w); wm comes from the
+            # exact max (or the caller's column max, an upper bound)
+            if vmax is not None and vmin is not None:
+                wm = closest_fixed_width(max(1, (int(vmax) - base).bit_length()))
+            else:
+                wm = closest_fixed_width(max(1, int(reduced.max()).bit_length()))
+            sample = reduced[::16] if n_lit > 65536 else reduced
+            widths = bit_widths(sample)
+            w, _bits = choose_pfor_width(widths, wm)
+            if w < wm:
+                # one pass: flatnonzero(compare) replaces the old
+                # mask-then-sum-then-flatnonzero-then-boolean-gather
+                # chain; bit_pack itself truncates to ``w`` bits in
+                # every layout path, so no pre-masking copy
+                exc_idx = (
+                    np.flatnonzero(reduced >= u_dt(1 << w))
+                    if w < 8 * reduced.dtype.itemsize
+                    else np.empty(0, dtype=np.int64)
+                )
+                n_exc = len(exc_idx)
+                if not n_exc:
+                    w = wm  # sample saw outliers the full data lacks
+                streams[LIT] = bit_pack_view(reduced, w)
+                if n_exc:
+                    streams[EXC_POS] = sorted_pos_encode(exc_idx.astype(np.int64))
+                    streams[EXC_HIGH] = bit_pack((reduced[exc_idx] >> u_dt(w)).astype(np.uint64), wm - w)
+            else:
+                w = wm
+                streams[LIT] = bit_pack_view(reduced, w)
+    if base is None:
+        base = 0
 
     streams[META] = (
         varint_encode_scalar(len(r_pos))

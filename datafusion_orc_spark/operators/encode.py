@@ -159,10 +159,15 @@ def _encode_stream(
             take = min(stripe_rows, table.num_rows - pos)
             stripe = table.slice(pos, take).to_batches()[0]
             blobs, stats = encode_stripe(stripe, namespace=f"{job_token:04x}")
-            if part_id >= (1 << 16) or seq >= (1 << 24):
+            # layout: token(16) << 47 | part(16) << 31 | seq(31) = 63
+            # bits, always positive in int64. seq at 31 bits carries
+            # 2^15 split windows x 2^16 stripes per task (the r7 sf3
+            # probe overflowed the old 24-bit seq at 256 splits/task —
+            # a 2.5B-token input at parallelism 2)
+            if part_id >= (1 << 16) or seq >= (1 << 31):
                 raise ValueError(
                     f"stripe_id packing overflow: part_id={part_id} (max 65535), "
-                    f"seq={seq} (max {(1 << 24) - 1}) — widen the packing before "
+                    f"seq={seq} (max {(1 << 31) - 1}) — widen the packing before "
                     f"running with >65536 partitions"
                 )
             if seq_end is not None and seq >= seq_end:
@@ -171,7 +176,7 @@ def _encode_stream(
                     f"window end {seq_end} (65536 stripes/split) — raise "
                     f"stripe_rows or lower row_groups_per_split"
                 )
-            stripe_id = (job_token << 40) | (part_id << 24) | seq
+            stripe_id = (job_token << 47) | (part_id << 31) | seq
             seq += 1
             pos += take
             yield _blob_batch(stripe_id, part_id, blobs, stats)
@@ -468,8 +473,9 @@ def encode_files(
                     columns=columns,
                     use_threads=False,
                 )
-                # distinct seq range per split within this task (k < 256,
-                # 65536 stripes per split) so stripe_ids never collide
+                # distinct seq range per split within this task (k < 32768
+                # with the 31-bit seq, 65536 stripes per split) so
+                # stripe_ids never collide
                 blob_batches = _encode_stream(
                     src, stripe_rows, part_id, job_token,
                     seq_start=k << 16, seq_end=(k + 1) << 16,

@@ -87,12 +87,21 @@ def run_level(spark, schema, blob_dir: str, per_trigger: int, sink: str = "parqu
     }
 
 
+def _session():
+    # 8g driver: one session now carries 3 sink modes x 3 levels of
+    # availableNow streams (r7 added the files sink); accumulated
+    # stream/listener state OOM'd the 4g heap at ~stage 24 (r7 run 1)
+    return bench.build_session(
+        bench.CPUS, extra_conf={"spark.driver.memory": "8g"}
+    )
+
+
 def main() -> None:
     sizes = [
         int(s)
         for s in os.environ.get("SPARK_GRAFT_STREAM_SIZES", "4,16,0").split(",")
     ]
-    spark = bench.build_session(bench.CPUS)
+    spark = _session()
     spark.sparkContext.setLogLevel("ERROR")
 
     tokens_path = bench.materialize_tokens(spark)
@@ -113,11 +122,19 @@ def main() -> None:
     run_level(spark, schema, blob_dir, 0)
 
     levels = [run_level(spark, schema, blob_dir, sz) for sz in sizes]
+    # fresh session per sink mode: bounds accumulated stream state and
+    # isolates the modes' heap behavior from each other
+    spark.stop()
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
     # in-task files sink (r7): decode+parquet-write inside each task via
     # decode_to_files — no JVM row transfer, no per-batch Spark write job
     levels += [
         run_level(spark, schema, blob_dir, sz, sink="files") for sz in sizes
     ]
+    spark.stop()
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
     # compute-sink levels: same stream, rows fully materialized but not
     # appended — the engine's streaming decode rate with the storage-sink
     # cost factored out (a downstream-is-compute deployment)

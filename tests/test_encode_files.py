@@ -175,3 +175,29 @@ def test_encode_files_byte_rolled_output(spark, tmp_path):
             dec.agg(F.sum("l_quantity"), F.sum("l_orderkey"), F.count(F.lit(1))).collect()[0]
         )
         assert got == exp
+
+
+def test_stripe_id_packing_survives_many_splits_per_task(spark, tmp_path):
+    """r7 sf3-probe regression: 24-bit seq overflowed at 256 splits per
+    task (seq windows are k<<16). The widened 31-bit seq carries 32768
+    windows; a single task over >256 row-group splits must encode with
+    distinct, positive stripe_ids."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_orc_spark.operators.encode import encode_files
+
+    n = 600  # rows -> 300 row groups of 2 -> 300 splits in ONE task
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n)]),
+        "tokens": pa.array([[i % 7, i % 11] for i in range(n)], pa.list_(pa.int32())),
+        "n_tok": pa.array([2] * n, pa.int32()),
+        "source": pa.array(["s"] * n),
+    })
+    src = tmp_path / "many_rg.parquet"
+    pq.write_table(t, str(src), row_group_size=2)
+    blobs = encode_files(spark, str(src), stripe_rows=4, parallelism=1)
+    ids = [r["stripe_id"] for r in blobs.select("stripe_id").distinct().collect()]
+    assert len(ids) == len(set(ids)) and all(i > 0 for i in ids)
+    assert len(ids) >= 300  # one stripe per split minimum
