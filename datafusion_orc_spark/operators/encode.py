@@ -707,6 +707,8 @@ def decode_to_files(
     bytes_per_file: int = 256 * 1024 * 1024,
     compression: str = "snappy",
     schema: pa.Schema | None = None,
+    use_dictionary: bool | list = False,
+    write_statistics: bool | list = False,
 ) -> DataFrame:
     """Partition-local decode that writes the decoded rows to parquet
     part files from INSIDE the task — the encode_files write path
@@ -720,7 +722,16 @@ def decode_to_files(
     >50% of the micro-batch wall (BENCH r6 sink-mode sweep).
     Files stage through attempt-suffixed tmp names and rename on close,
     so retries/speculation never interleave and readers see only
-    complete files."""
+    complete files.
+
+    ``use_dictionary``/``write_statistics`` default OFF: parquet
+    dictionary encoding + page statistics on a high-entropy
+    ``array<int32>`` token column cost ~2x the whole write (measured
+    620 -> 320 ms per 16k-row group) for stats no reader of a decoded
+    materialization uses; pass column-name lists to re-enable them
+    selectively (e.g. ``use_dictionary=["source"]``) when the output is
+    a long-lived table rather than a downstream-compute handoff —
+    dictionary does halve the token bytes on disk."""
     import pyarrow.parquet as pq
     from pyspark import TaskContext
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -775,7 +786,10 @@ def decode_to_files(
             else:
                 writer_fh = out_store.open_output(f"{out_path}/{name}")
                 sink = writer_fh
-            writer = pq.ParquetWriter(sink, proj, compression=compression)
+            writer = pq.ParquetWriter(
+                sink, proj, compression=compression,
+                use_dictionary=use_dictionary, write_statistics=write_statistics,
+            )
 
         def _close():
             nonlocal writer, writer_fh, writer_tmp, written_bytes, file_seq, n_files, total_bytes

@@ -90,9 +90,19 @@ def run_level(spark, schema, blob_dir: str, per_trigger: int, sink: str = "parqu
 def _session():
     # 8g driver: one session now carries 3 sink modes x 3 levels of
     # availableNow streams (r7 added the files sink); accumulated
-    # stream/listener state OOM'd the 4g heap at ~stage 24 (r7 run 1)
+    # stream/listener state OOM'd the 4g heap at ~stage 24 (r7 run 1).
+    # openCostInBytes=128M: a micro-batch of ~15 MB blob files would
+    # otherwise bin-pack into 1-2 scan partitions (maxPartitionBytes
+    # 128M), serializing the decode — per-file task granularity fans a
+    # 16-file batch over 16 tasks. Files below maxPartitionBytes are
+    # never SPLIT by this, so stripe co-location (the shuffle-free
+    # decode invariant) is untouched.
     return bench.build_session(
-        bench.CPUS, extra_conf={"spark.driver.memory": "8g"}
+        bench.CPUS,
+        extra_conf={
+            "spark.driver.memory": "8g",
+            "spark.sql.files.openCostInBytes": str(128 * 1024 * 1024),
+        },
     )
 
 
@@ -119,28 +129,28 @@ def main() -> None:
     # warmup: one throwaway single-batch stream faults the decode working
     # set (same ~50x first-touch penalty as the batch path) so level walls
     # measure the stream, not the arena fault storm
-    run_level(spark, schema, blob_dir, 0)
+    first_mode = os.environ.get(
+        "SPARK_GRAFT_STREAM_SINKS", "parquet,files,count"
+    ).split(",")[0]
+    run_level(spark, schema, blob_dir, 0, sink=first_mode)
 
-    levels = [run_level(spark, schema, blob_dir, sz) for sz in sizes]
-    # fresh session per sink mode: bounds accumulated stream state and
-    # isolates the modes' heap behavior from each other
-    spark.stop()
-    spark = _session()
-    spark.sparkContext.setLogLevel("ERROR")
-    # in-task files sink (r7): decode+parquet-write inside each task via
-    # decode_to_files — no JVM row transfer, no per-batch Spark write job
-    levels += [
-        run_level(spark, schema, blob_dir, sz, sink="files") for sz in sizes
-    ]
-    spark.stop()
-    spark = _session()
-    spark.sparkContext.setLogLevel("ERROR")
-    # compute-sink levels: same stream, rows fully materialized but not
-    # appended — the engine's streaming decode rate with the storage-sink
-    # cost factored out (a downstream-is-compute deployment)
-    levels += [
-        run_level(spark, schema, blob_dir, sz, sink="count") for sz in sizes
-    ]
+    # sink modes in SPARK_GRAFT_STREAM_SINKS order (fresh session per
+    # mode: bounds accumulated stream state). The box slows progressively
+    # as a sweep churns page cache (r7: the back half of a 9-level sweep
+    # read 3-10x slower than the front), so put the mode under
+    # measurement FIRST. "files" = in-task decode+parquet-write via
+    # decode_to_files (r7; no JVM row transfer, no per-batch write job);
+    # "count" = compute-only sink (storage cost factored out).
+    sink_modes = os.environ.get(
+        "SPARK_GRAFT_STREAM_SINKS", "parquet,files,count"
+    ).split(",")
+    levels = []
+    for mi, mode in enumerate(sink_modes):
+        if mi > 0:
+            spark.stop()
+            spark = _session()
+            spark.sparkContext.setLogLevel("ERROR")
+        levels += [run_level(spark, schema, blob_dir, sz, sink=mode) for sz in sizes]
     out = {
         "metric": "streaming decode micro-batch walls + throughput sweep",
         "unit": "sec",
