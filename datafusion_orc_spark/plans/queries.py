@@ -2380,6 +2380,50 @@ FROM seq WHERE doc_id = (SELECT MAX(doc_id) FROM seq) GROUP BY doc_id
 """
 
 
+def q_sink_files_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-task decode sink (decode_to_files, r7) proven against the
+    raw-text oracle: tokenize → encode_table → decode_to_files writes
+    parquet from INSIDE each task (open ParquetWriter, no JVM row
+    transfer, no per-batch write job) → aggregate the written rows per
+    source. Green iff the full write path — attempt-fenced tmp+rename,
+    per-stripe row groups, byte rolling — reproduces every token
+    bit-identically. Oracle = SQL_ROUNDTRIP_TOKENS_AGG."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from datafusion_orc_spark import FORMAT_VERSION
+    from datafusion_orc_spark.operators.encode import decode_to_files, encode_table
+    from datafusion_orc_spark.sources.tokens import tokenized_sequences
+
+    seqs = tokenized_sequences(spark, sf_dir).repartition(8)
+    tag = hashlib.md5(f"{sf_dir}:v{FORMAT_VERSION}:sinkfiles".encode()).hexdigest()[:8]
+    out = f"{tempfile.gettempdir()}/dos_sink_files_{tag}"
+    done = f"{out}/_DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        blobs = encode_table(seqs, stripe_rows=4096)
+        stats = decode_to_files(blobs, seqs.schema, out).collect()
+        assert sum(r["rows"] for r in stats) > 0
+        open(done, "w").close()
+    dec = spark.read.schema(seqs.schema).option("pathGlobFilter", "*.parquet").parquet(out)
+    return (
+        dec.select(
+            "source",
+            "n_tok",
+            F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("tok_sum"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("tok_sum").alias("token_value_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # relational parity
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
@@ -2439,4 +2483,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # production-geometry dedup + string bloom lookup (r7)
     "dedup_minhash_banded": (q_dedup_minhash_banded, SQL_DEDUP_MINHASH_BANDED),
     "orc_string_lookup": (q_orc_string_lookup, SQL_ORC_STRING_LOOKUP),
+    "sink_files_roundtrip": (q_sink_files_roundtrip, SQL_ROUNDTRIP_TOKENS_AGG),
 }
