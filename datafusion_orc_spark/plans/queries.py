@@ -38,6 +38,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SCAN_PARTS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _t_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table scan with a scale-adaptive parallelism floor, for queries
+    whose per-row work (tokenize, regexp, minhash, lambda arithmetic)
+    dominates the scan (guide §2.5 input skew / §2.2).
+
+    The fixture tables are single-row-group parquet files, so a plain
+    scan yields ~1 non-empty partition and every expensive per-row pass
+    downstream runs as a SINGLE task. When — and only when — the scan's
+    split count is below the session's core count, round-robin
+    repartition to the core count (projections and deterministic filters
+    are pushed below this exchange by Catalyst, so it shuffles only the
+    columns/rows the query needs). At production scale the input has
+    more splits than cores, the condition is false, and NO shuffle is
+    added — a parallelism floor derived from the environment, not a
+    constant tuned to the bench. The split count is probed once per
+    (session, file): it is planning metadata, not data."""
+    df = _t(spark, sf_dir, name)
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}")
+    n = _SCAN_PARTS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS_CACHE[key] = n
+    target = spark.sparkContext.defaultParallelism
+    return df.repartition(target) if n < target else df
+
+
 # --------------------------------------------------------------------------
 # 1. relational surface (inherited-operator parity, SURVEY.md §2.2)
 # --------------------------------------------------------------------------
@@ -71,12 +100,21 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join (broadcast dim) + agg + top-k."""
+    """3-way join + agg + top-k.
+
+    Join strategy chosen deliberately (guide §3.1): lineitem⋈orders is a
+    SHUFFLED HASH join — Spark's size estimate put the 2-column orders
+    projection under the broadcast threshold, and the resulting
+    driver-side broadcast build of 1.5M rows per run cost more than the
+    whole shuffle (r8 sf1.0: 2.67 s -> 1.14 s from this hint alone). The
+    per-partition hash build stays small at any scale because both sides
+    shuffle by the join key; customer (a true dimension table) stays
+    broadcast."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -125,10 +163,17 @@ GROUP BY r_name, n_name ORDER BY r_name, n_name
 
 
 def q_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window function: rank orders per customer by price, keep top 3."""
+    """Window function: rank orders per customer by price, keep top 3.
+
+    The scan is repartitioned by the window key before the window (guide
+    §2.4): orders is a single ~128 MB-split parquet file, so without it
+    the scan+sort+partial-WindowGroupLimit stage ran as ONE task (a
+    serial sort of the whole table); hash-partitioning by o_custkey
+    parallelizes the sort and already satisfies the window's required
+    distribution, so the window adds no further Exchange."""
     from pyspark.sql.window import Window
 
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").repartition(F.col("o_custkey"))
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (
         orders.withColumn("rnk", F.row_number().over(w))
@@ -526,10 +571,22 @@ GROUP BY e.event_type ORDER BY e.event_type
 def q_roundtrip_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """encode→decode lineitem with our codecs, then aggregate the DECODED
     rows; the DuckDB oracle aggregates the RAW parquet — equal results
-    prove the round-trip is value-identical."""
+    prove the round-trip is value-identical.
+
+    Encode parallelism is scale-adaptive (defaultParallelism, i.e. the
+    session's core count), not a constant: the r7 shape repartitioned to
+    8, which capped the mapInArrow encode+decode stage at 8 concurrent
+    tasks on a 32-core box (r8 measurement: 7.5 s -> 3.0 s at sf1.0 from
+    this change alone; guide §2/§6 — parallelism must derive from the
+    environment, not a literal tuned to one input size)."""
     from datafusion_orc_spark.operators.encode import decode_table, encode_table
 
-    li = _t(spark, sf_dir, "lineitem").repartition(8)
+    # hash-repartition on the high-cardinality key rather than round-robin:
+    # keyless repartition pays a local sort of its input (sortBeforeRepartition,
+    # guide §2.5) — ~6M rows sorted for nothing; hash partitioning does not
+    li = _t(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism, F.col("l_orderkey")
+    )
     blobs = encode_table(li, stripe_rows=16384)
     dec = decode_table(blobs, None, li.schema)
     return (
@@ -754,11 +811,17 @@ SELECT * FROM (
 # --------------------------------------------------------------------------
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    toks = dl.tokens(SPARK)
+    """Tokenize-once shape (guide §4/§2.3): `words` is split/filtered one
+    time per row and both outputs derive from it — the flat shape
+    computed the split twice (once for n_words, once inside tokens),
+    and lambda-bearing expressions are excluded from codegen
+    subexpression elimination, so the duplication was real work."""
+    docs = _t_parallel(spark, sf_dir, "documents")
+    tok_of_w = f"transform(w, w -> {dl.tok_lambda('w')})"
     return (
-        docs.select("source", F.expr(f"size({dl.words(SPARK)})").alias("n_words"),
-                    F.expr(f"size(array_distinct({toks}))").alias("n_distinct_tok"))
+        docs.select("source", F.expr(dl.words(SPARK)).alias("w"))
+        .select("source", F.expr("size(w)").alias("n_words"),
+                F.expr(f"size(array_distinct({tok_of_w}))").alias("n_distinct_tok"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
@@ -786,18 +849,21 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     AVG, so the aggregate is exact-integer-sum / count — identical
     doubles in Spark and DuckDB regardless of partial-agg order.
     """
-    docs = _t(spark, sf_dir, "documents")
-    w = dl.words(SPARK)
-    sw = dl.stopword_hits(SPARK, w, STOPWORDS_EN)
+    docs = _t_parallel(spark, sf_dir, "documents")
+    # split text once (guide §2.3): the flat shape re-split it 4x (words,
+    # two size() calls, stopword filter) and lambda-bearing expressions
+    # are excluded from codegen subexpression elimination
+    sw = dl.stopword_hits(SPARK, "w", STOPWORDS_EN)
     return (
-        docs.select(
+        docs.select("lang", "n_chars", F.expr(dl.words(SPARK)).alias("w"))
+        .select(
             "lang",
-            F.expr(f"size({w})").alias("n_words"),
+            F.expr("size(w)").alias("n_words"),
             F.expr(
-                f"CAST(ROUND(n_chars * 1000000.0 / greatest(size({w}), 1)) AS BIGINT)"
+                "CAST(ROUND(n_chars * 1000000.0 / greatest(size(w), 1)) AS BIGINT)"
             ).alias("wlen_q"),
             F.expr(
-                f"CAST(ROUND({sw} * 1000000.0 / greatest(size({w}), 1)) AS BIGINT)"
+                f"CAST(ROUND({sw} * 1000000.0 / greatest(size(w), 1)) AS BIGINT)"
             ).alias("stop_q"),
         )
         .groupBy("lang")
@@ -829,20 +895,30 @@ FROM d GROUP BY lang ORDER BY lang
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by stopword-hit votes (en/de/fr) -> confusion matrix."""
-    docs = _t(spark, sf_dir, "documents")
-    w = dl.words(SPARK)
+    docs = _t_parallel(spark, sf_dir, "documents")
+    # split text once, then count stopword hits per language over the
+    # materialized word array (guide §2.3): the flat predicate embedded
+    # the full split in all 3 hit counters, each referenced up to 4x in
+    # the CASE — up to 10 splits per row
     hits = {
-        "en": dl.stopword_hits(SPARK, w, STOPWORDS_EN),
-        "de": dl.stopword_hits(SPARK, w, STOPWORDS_DE),
-        "fr": dl.stopword_hits(SPARK, w, STOPWORDS_FR),
+        "en": dl.stopword_hits(SPARK, "w", STOPWORDS_EN),
+        "de": dl.stopword_hits(SPARK, "w", STOPWORDS_DE),
+        "fr": dl.stopword_hits(SPARK, "w", STOPWORDS_FR),
     }
     pred = (
-        f"CASE WHEN {hits['de']} > {hits['en']} AND {hits['de']} >= {hits['fr']} THEN 'de' "
-        f"WHEN {hits['fr']} > {hits['en']} AND {hits['fr']} > {hits['de']} THEN 'fr' "
-        f"ELSE 'en' END"
+        "CASE WHEN h_de > h_en AND h_de >= h_fr THEN 'de' "
+        "WHEN h_fr > h_en AND h_fr > h_de THEN 'fr' "
+        "ELSE 'en' END"
     )
     return (
-        docs.select("lang", F.expr(pred).alias("predicted"))
+        docs.select("lang", F.expr(dl.words(SPARK)).alias("w"))
+        .select(
+            "lang",
+            F.expr(hits["en"]).alias("h_en"),
+            F.expr(hits["de"]).alias("h_de"),
+            F.expr(hits["fr"]).alias("h_fr"),
+        )
+        .select("lang", F.expr(pred).alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "predicted")
@@ -871,12 +947,14 @@ SQL_LANG_ID = _sql_lang_id()
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic document fingerprint (token-sum polynomial)."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = dl.tokens(SPARK)
-    fp = f"({dl.list_sum(SPARK, toks)} * 31 + size({toks}) * 7) % {dl.FP_PRIME}"
+    """Deterministic document fingerprint (token-sum polynomial).
+    Tokenize-once shape (guide §2.3): `toks` materialized as a column,
+    then summed and sized — the flat expression tokenized twice."""
+    docs = _t_parallel(spark, sf_dir, "documents")
+    fp = f"({dl.list_sum(SPARK, 'toks')} * 31 + size(toks) * 7) % {dl.FP_PRIME}"
     return (
-        docs.select("source", F.expr(fp).alias("fp"))
+        docs.select("source", F.expr(dl.tokens(SPARK)).alias("toks"))
+        .select("source", F.expr(fp).alias("fp"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
@@ -900,7 +978,7 @@ FROM documents GROUP BY source ORDER BY source
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash (md5) — hash-groupBy."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_parallel(spark, sf_dir, "documents")
     return (
         docs.select("source", F.md5("text").alias("h"))
         .groupBy("source")
@@ -925,17 +1003,28 @@ _MINHASH_PERMS = [(1299721, 15485863), (7919, 104729), (50331653, 999983), (2654
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH: 4 permutations = 4 bands of 1 hash each; docs sharing
     any band bucket are near-dup candidates. Output: per-band bucket
-    sizes >= 2 (candidate clusters)."""
-    docs = _t(spark, sf_dir, "documents")
+    sizes >= 2 (candidate clusters).
+
+    Single-scan banding (guide §2.4; r7 verdict task #4): tokenize once,
+    compute all 4 minhashes side by side, posexplode into (band, bucket)
+    rows — the r7 shape unioned one branch per band, scanning and
+    re-tokenizing `documents` B times (8 full corpus reads per query at
+    100 TB). posexplode's pos == the unioned branches' lit(i), so the
+    rows — and the oracle — are unchanged."""
+    docs = _t_parallel(spark, sf_dir, "documents")
     toks = dl.tokens(SPARK)
-    sel = [F.col("doc_id")]
-    for i, (a, b) in enumerate(_MINHASH_PERMS):
-        sel.append(F.expr(dl.minhash(SPARK, toks, a, b)).alias(f"mh{i}"))
-    sig = docs.select(*sel)
-    bands = None
-    for i in range(len(_MINHASH_PERMS)):
-        band = sig.select(F.lit(i).alias("band"), F.col(f"mh{i}").alias("bucket"))
-        bands = band if bands is None else bands.unionAll(band)
+    # two-step select: `toks` materialized once per row (CollapseProject
+    # keeps the projection split because the alias is non-cheap and used
+    # 4x), then each permutation's minhash over it
+    sig = docs.select(F.expr(toks).alias("toks"))
+    bands = sig.select(
+        F.posexplode(
+            F.array(*[
+                F.expr(dl.minhash(SPARK, "toks", a, b))
+                for (a, b) in _MINHASH_PERMS
+            ])
+        ).alias("band", "bucket")
+    )
     return (
         bands.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -960,11 +1049,17 @@ SQL_DEDUP_MINHASH = _sql_dedup_minhash()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (16-bit) near-dup clustering: per-source distinct simhash."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = dl.simhash(SPARK, dl.tokens(SPARK))
+    """SimHash (16-bit) near-dup clustering: per-source distinct simhash.
+
+    Tokenize-once shape (guide §2.3): the flat expression expanded the
+    full tokenize inside EACH of the 16 bit terms (16 tokenize passes
+    per row, and lambda-bearing expressions are excluded from codegen
+    subexpression elimination); `toks` is now a materialized column."""
+    docs = _t_parallel(spark, sf_dir, "documents")
+    sh = dl.simhash(SPARK, "toks")
     return (
-        docs.select("source", F.expr(sh).alias("simhash"))
+        docs.select("source", F.expr(dl.tokens(SPARK)).alias("toks"))
+        .select("source", F.expr(sh).alias("simhash"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
@@ -994,31 +1089,52 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     each band capped at _JACCARD_BUCKET_CAP members so a degenerate
     bucket can never go quadratic; pairs verified by exact Jaccard over
     distinct token sets. Equi-joins only — no cross join anywhere."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_parallel(spark, sf_dir, "documents")
     toks = dl.tokens(SPARK)
-    sel = [F.col("doc_id"), F.expr(f"array_sort(array_distinct({toks}))").alias("tokset")]
-    for i, (a, b) in enumerate(_MINHASH_PERMS):
-        sel.append(F.expr(dl.minhash(SPARK, toks, a, b)).alias(f"mh{i}"))
-    sig = docs.select(*sel)
-    # candidate generation is THIN: bands carry doc_id only, so the 4x
-    # band union and both sides of the self-join shuffle ~16 bytes/row
-    # instead of the whole token-set array (at 100 TB the tokset payload
-    # dominated shuffle bytes 4x over; its own DuckDB oracle always had
-    # this shape — cand of ids, then sig joined back for the verify)
-    bands = None
-    for i in range(len(_MINHASH_PERMS)):
-        one = sig.select("doc_id", F.lit(i).alias("band"), F.col(f"mh{i}").alias("bucket"))
-        bands = one if bands is None else bands.unionAll(one)
-    sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
-    bands = bands.join(sizes, ["band", "bucket"]).filter(F.col("bn") <= _JACCARD_BUCKET_CAP)
+    # tokenize ONCE per row (two-step select, guide §2.3/§2.4): the r7
+    # shape re-tokenized per band branch and per self-join side — ~12
+    # scans of `documents` per run; this shape scans once per use of
+    # `sig` (bands, verify) and computes `toks0` once per scan
+    base = docs.select("doc_id", F.expr(toks).alias("toks0"))
+    sig = base.select(
+        "doc_id",
+        F.expr("array_sort(array_distinct(toks0))").alias("tokset"),
+        *[
+            F.expr(dl.minhash(SPARK, "toks0", a, b)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MINHASH_PERMS)
+        ],
+    )
+    # candidate generation is THIN and SINGLE-PASS: one posexplode into
+    # (doc_id, band, bucket) rows (~16 bytes/row, never the tokset
+    # payload), ONE shuffle grouping each bucket's members, pairs
+    # expanded bucket-locally with the cap applied in the same pass.
+    # Null buckets (empty token lists) are dropped explicitly — the r7
+    # self-join dropped them implicitly via null-rejecting equality.
+    # Same candidate set, same oracle; the r7 shape needed the band
+    # union + a sizes groupBy + a sizes join + an O(members^2)
+    # self-join = 3 more shuffles and ~12 corpus scans.
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{i}") for i in range(len(_MINHASH_PERMS))])
+        ).alias("band", "bucket"),
+    ).filter(F.col("bucket").isNotNull())
+    grp = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _JACCARD_BUCKET_CAP))
+    )
     cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     tsets = sig.select("doc_id", "tokset")
@@ -1176,16 +1292,24 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _lsh_bands_df(spark, sf_dir)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
-        x.join(y, ["band", "bucket"])
+        x.join(y.hint("shuffle_hash"), ["band", "bucket"])
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
         .distinct()
     )
-    q = _quantized_emb(spark, sf_dir).select("vec_id", "q")
+    # verify joins broadcast the (vec_id, q, n2) vector table so the
+    # candidate stream is never shuffled; norms precomputed (guide §3.1)
+    q = _quantized_emb(spark, sf_dir).select("vec_id", "q", "n2")
     pairs = (
-        cand.join(q.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa")), "vec_a")
-        .join(q.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb")), "vec_b")
-        .select("vec_a", "vec_b", F.round(F.expr(_COS_SPARK), 6).alias("cos"))
+        cand.join(
+            F.broadcast(q.select(
+                F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na2")
+            )), "vec_a")
+        .join(
+            F.broadcast(q.select(
+                F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb2")
+            )), "vec_b")
+        .select("vec_a", "vec_b", F.round(F.expr(_COS_SPARK_N), 6).alias("cos"))
     )
     return pairs.filter(F.col("cos") >= 0.5).orderBy("vec_a", "vec_b")
 
@@ -1228,9 +1352,22 @@ def _quantized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     df = _QUANT_CACHE.get(key)
     if df is None:
-        df = _t(spark, sf_dir, "embeddings").withColumn(
-            "q", F.expr(_QUANT_SPARK.format(col="embedding"))
-        ).cache()
+        # repartition BEFORE the quantize+cache (guide §2.5 input skew):
+        # embeddings.parquet is a single row group, so the scan yields
+        # ~1 non-empty partition and every downstream lambda-heavy pass
+        # (quantize, LSH bucket projections, cosine scoring) ran as ONE
+        # task; spreading the cached relation across the session's cores
+        # parallelizes all of them. n2 (exact integer squared norm) is
+        # precomputed once per vector so per-pair cosines stop
+        # recomputing both norms (the norm was 2/3 of each pair's
+        # interpreted-lambda work).
+        df = (
+            _t(spark, sf_dir, "embeddings")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .withColumn("q", F.expr(_QUANT_SPARK.format(col="embedding")))
+            .withColumn("n2", F.expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+            .cache()
+        )
         _QUANT_CACHE[key] = df
     return df
 
@@ -1254,6 +1391,17 @@ _COS_SPARK = (
     " sqrt(CAST(aggregate(qb, 0L, (acc, v) -> acc + v * v) AS DOUBLE)))"
 )
 
+# Same cosine, but with the exact integer squared norms precomputed per
+# vector (columns na2/nb2 from _quantized_emb's cached n2): the per-pair
+# expression keeps only the dot product lambda. sqrt(CAST(n AS DOUBLE))
+# of the same int64 is bit-identical to the inline aggregate, so every
+# consumer's values — and the oracles — are unchanged (guide §1.2 step 2:
+# per-task work; norms were 2/3 of each pair's interpreted-lambda cost).
+_COS_SPARK_N = (
+    "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE) / "
+    "(sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))"
+)
+
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the ANN correctness baseline.
@@ -1263,18 +1411,24 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = _quantized_emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 5).alias("a")
-    c = emb.alias("b")
+    # the 5-query side is broadcast (guide §3.1) so the corpus side —
+    # which carries the parallelism — is never shuffled; norms come
+    # precomputed from the cache (n2), leaving only the dot product
+    # per pair
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
     pairs = (
-        q.crossJoin(c)
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            F.col("a.q").alias("qa"),
-            F.col("b.q").alias("qb"),
-        )
-        .select("query_id", "neighbor_id", F.round(F.expr(_COS_SPARK), 6).alias("cos"))
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(F.expr(_COS_SPARK_N), 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -1325,6 +1479,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     bands = _lsh_bands_df(spark, sf_dir)
+    # multi-probe fan-out rides the 5-query side only; BROADCAST it
+    # (guide §3.1) so the index side — one row per vector per band,
+    # where the parallel bucket computation lives — is never shuffled
+    # or sorted (the r7 plan ran this as a SortMergeJoin: 2 Exchanges +
+    # 2 Sorts of the full band table per run)
     qb = bands.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         "band",
@@ -1336,17 +1495,27 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     cand = (
-        qb.join(bands.select(F.col("vec_id").alias("neighbor_id"), "band", "bucket"),
-                ["band", "bucket"])
+        bands.select(F.col("vec_id").alias("neighbor_id"), "band", "bucket")
+        .join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = _quantized_emb(spark, sf_dir).select("vec_id", "q")
+    # verify joins: query side restricted to vec_id < 5 (provably
+    # equivalent — every cand.query_id comes from that filter) and both
+    # vector sides broadcast so the candidate stream is never shuffled;
+    # norms precomputed (n2) so scoring keeps only the dot product
+    emb = _quantized_emb(spark, sf_dir)
+    qside = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("n2").alias("na2")
+    )
+    nside = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("n2").alias("nb2")
+    )
     scored = (
-        cand.join(q.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa")), "query_id")
-        .join(q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb")), "neighbor_id")
-        .select("query_id", "neighbor_id", F.round(F.expr(_COS_SPARK), 6).alias("cos"))
+        cand.join(F.broadcast(qside), "query_id")
+        .join(F.broadcast(nside), "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(F.expr(_COS_SPARK_N), 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -1398,33 +1567,45 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — NOT an all-pairs join; search touches ~n·probes/C vectors)."""
     from pyspark.sql.window import Window
 
-    emb = _quantized_emb(spark, sf_dir).select("vec_id", "q")
+    emb = _quantized_emb(spark, sf_dir).select("vec_id", "q", "n2")
     cent = emb.filter(F.col("vec_id") < _IVF_LISTS).select(
-        F.col("vec_id").alias("cent_id"), F.col("q").alias("qc")
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("qc"), F.col("n2").alias("nc2")
+    )
+    # centroid scoring reuses the cached per-vector norm (n2/nc2): only
+    # the dot product is computed per (vector, centroid) pair
+    ccos_n = (
+        "CAST(aggregate(zip_with(q, qc, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS DOUBLE) / "
+        "(sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(nc2 AS DOUBLE)))"
     )
     scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "q", "cent_id",
-        F.round(F.expr(_COS_SPARK.replace("qa", "q").replace("qb", "qc")), 6).alias("ccos"),
+        "vec_id", "q", "n2", "cent_id",
+        F.round(F.expr(ccos_n), 6).alias("ccos"),
     )
     wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cent_id")
     assign = (
         scored.withColumn("r", F.row_number().over(wa))
         .filter(F.col("r") == 1)
-        .select("vec_id", "cent_id", "q")
+        .select("vec_id", "cent_id", "q", "n2")
     )
     probes = (
         scored.filter(F.col("vec_id") < 5)
         .withColumn("r", F.row_number().over(wa))
         .filter(F.col("r") <= _IVF_PROBES)
-        .select(F.col("vec_id").alias("query_id"), "cent_id", F.col("q").alias("qa"))
-    )
-    cand = (
-        probes.join(
-            assign.select(F.col("vec_id").alias("neighbor_id"), "cent_id", F.col("q").alias("qb")),
-            "cent_id",
+        .select(
+            F.col("vec_id").alias("query_id"), "cent_id",
+            F.col("q").alias("qa"), F.col("n2").alias("na2"),
         )
+    )
+    # probes is a handful of rows — broadcast it so the assignment table
+    # (the big side) is never shuffled by cent_id (guide §3.1)
+    cand = (
+        assign.select(
+            F.col("vec_id").alias("neighbor_id"), "cent_id",
+            F.col("q").alias("qb"), F.col("n2").alias("nb2"),
+        )
+        .join(F.broadcast(probes), "cent_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(F.expr(_COS_SPARK), 6).alias("cos"))
+        .select("query_id", "neighbor_id", F.round(F.expr(_COS_SPARK_N), 6).alias("cos"))
         .distinct()
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -1713,7 +1894,7 @@ def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     word key; ties broken by word so the result is deterministic."""
     w = dl.words(SPARK)
     return (
-        _t(spark, sf_dir, "documents")
+        _t_parallel(spark, sf_dir, "documents")
         .select(F.explode(F.expr(w)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1733,13 +1914,14 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher/C4-style quality signal):
     1 - distinct_words/words, quantized to 1e6 fixed point per row so
     the per-lang aggregate is exact-integer math in both engines."""
-    w = dl.words(SPARK)
+    # split text once (guide §2.3): the flat shape split twice per row
     rep_q = (
-        f"CAST(ROUND((1.0 - CAST(size(array_distinct({w})) AS DOUBLE)"
-        f" / greatest(size({w}), 1)) * 1000000) AS BIGINT)"
+        "CAST(ROUND((1.0 - CAST(size(array_distinct(w)) AS DOUBLE)"
+        " / greatest(size(w), 1)) * 1000000) AS BIGINT)"
     )
     return (
-        _t(spark, sf_dir, "documents")
+        _t_parallel(spark, sf_dir, "documents")
+        .select("lang", F.expr(dl.words(SPARK)).alias("w"))
         .select("lang", F.expr(rep_q).alias("rep_q"))
         .groupBy("lang")
         .agg(
@@ -1776,7 +1958,7 @@ def q_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and long digit runs + total match counts — the audit table a
     scrubbing pass emits before rewriting text. Pure regexp scan,
     embarrassingly parallel."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_parallel(spark, sf_dir, "documents")
     url_n = f"size(regexp_extract_all(lower(text), '{_URL_PAT}', 0))"
     num_n = f"size(regexp_extract_all(lower(text), '{_NUM_PAT}', 0))"
     return (
@@ -1922,7 +2104,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc windows + tail truncation/padding instead, so that
     trade-off is taken here deliberately."""
     toks = dl.tokens(SPARK)
-    docs = _t(spark, sf_dir, "documents").filter("doc_id % 37 = 0")
+    docs = _t_parallel(spark, sf_dir, "documents").filter("doc_id % 37 = 0")
     return (
         docs.select("doc_id", F.expr(toks).alias("toks"))
         .filter(F.expr("size(toks) > 0"))
@@ -1972,7 +2154,7 @@ def q_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     by observed pairs, counts concentrate on frequent pairs, ties broken
     by key for cross-engine determinism."""
     toks = dl.tokens(SPARK)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_parallel(spark, sf_dir, "documents")
     return (
         docs.select(F.expr(toks).alias("toks"))
         .filter(F.expr("size(toks) >= 2"))
@@ -2033,7 +2215,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice scales with the corpus, so a forced F.broadcast hint would
     bypass the size check and OOM executors at scale."""
     toks = dl.tokens(SPARK)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_parallel(spark, sf_dir, "documents")
     grams = (
         docs.select("doc_id", F.expr(toks).alias("toks"))
         .filter(F.expr("size(toks) >= 5"))
@@ -2081,7 +2263,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram equi-join, and two broadcast-or-shuffle-left joins — no
     pairwise comparisons anywhere."""
     toks = dl.tokens(SPARK)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _t_parallel(spark, sf_dir, "documents").select("doc_id", "source", "text")
     withh = docs.withColumn("h", F.md5("text"))
     keep = withh.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     lab = withh.join(keep, "h").withColumn(
@@ -2286,21 +2468,25 @@ def _minhash_perm(i: int) -> tuple[int, int]:
 def q_dedup_minhash_banded(
     spark: SparkSession, sf_dir: str, bands: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    """Single-scan banding (guide §2.4; r7 verdict task #4): the r7 shape
+    unioned one branch per band — 8 scans + 8 tokenize passes of
+    `documents` per query. Now: tokenize once, compute all B band buckets
+    side by side, posexplode; pos == the unioned branches' lit(bi), so
+    rows and oracle are unchanged (entry stays green)."""
+    docs = _t_parallel(spark, sf_dir, "documents")
     toks = dl.tokens(SPARK)
-    sel = [F.col("doc_id")]
-    for i in range(bands * rows_per_band):
-        a, b = _minhash_perm(i)
-        sel.append(F.expr(dl.minhash(SPARK, toks, a, b)).alias(f"mh{i}"))
-    sig = docs.select(*sel)
-    bands_df = None
+    sig = docs.select(F.expr(toks).alias("toks"))
+    bucket_cols = []
     for bi in range(bands):
         bucket = F.lit(0).cast("long")
         for r in range(rows_per_band):
-            mh = F.col(f"mh{bi * rows_per_band + r}")
+            a, b = _minhash_perm(bi * rows_per_band + r)
+            mh = F.expr(dl.minhash(SPARK, "toks", a, b))
             bucket = (bucket * 31 + mh) % _BANDED_BUCKET_MOD
-        band = sig.select(F.lit(bi).alias("band"), bucket.alias("bucket"))
-        bands_df = band if bands_df is None else bands_df.unionAll(band)
+        bucket_cols.append(bucket)
+    bands_df = sig.select(
+        F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
+    )
     return (
         bands_df.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
