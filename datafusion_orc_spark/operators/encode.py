@@ -199,7 +199,11 @@ def encode_table(df: DataFrame, stripe_rows: int = DEFAULT_STRIPE_ROWS, job_toke
 
     ``job_token`` (16 bit) disambiguates stripe_ids across independent
     encode invocations whose outputs may later be unioned (e.g. the
-    chunked resumable job): stripe_id = token<<40 | partition<<24 | seq.
+    chunked resumable job): stripe_id = token<<47 | partition<<31 | seq
+    (31-bit seq — widened in r7 from the r6 token<<40|part<<24|seq
+    layout; blob tables persisted under the old packing must not be
+    unioned with new output under one job_token, ids could collide
+    across the upgrade boundary).
     """
     import uuid as _uuid
 
@@ -608,7 +612,17 @@ def decode_table(
     _ensure_workers_can_import(blobs_df)
     if schema is None:
         schema = to_arrow_schema(spark_schema)
-    names = columns if columns is not None else list(schema.names)
+    if columns is not None:
+        unknown = set(columns) - set(schema.names)
+        if unknown:
+            raise ValueError(f"decode: unknown columns {sorted(unknown)}")
+        # normalize the projection to SCHEMA order: the output StructType
+        # preserves schema order, so the decoded Arrow batches must too (a
+        # caller-order projection decoded fine but mis-bound column
+        # vectors JVM-side)
+        names = [nm for nm in schema.names if nm in set(columns)]
+    else:
+        names = list(schema.names)
     if where is not None:
         # auto-wire stripe pruning from the predicate's simple integer
         # comparisons (the DataSource's pushFilters analogue for the
@@ -688,6 +702,10 @@ def decode_table(
     return out.filter(where) if where is not None else out
 
 
+# NOTE (r7 advice): ``bytes_written`` reports the UNCOMPRESSED in-memory
+# Arrow bytes streamed through the writer (a stable, codec-independent
+# volume measure), NOT the post-compression on-disk file size — size the
+# output directory for disk accounting.
 DECODE_STATS_SCHEMA = StructType(
     [
         StructField("part_id", IntegerType(), False),
@@ -731,7 +749,11 @@ def decode_to_files(
     materialization uses; pass column-name lists to re-enable them
     selectively (e.g. ``use_dictionary=["source"]``) when the output is
     a long-lived table rather than a downstream-compute handoff —
-    dictionary does halve the token bytes on disk."""
+    dictionary does halve the token bytes on disk.
+
+    ``prune`` bounds are INTEGER-column-only here (bounds are cast with
+    int(); string-keyed pruning is supported by read_orc_distributed,
+    not by this sink — r7 advice)."""
     import pyarrow.parquet as pq
     from pyspark import TaskContext
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -742,7 +764,17 @@ def decode_to_files(
     _ensure_workers_can_import(blobs_df)
     if schema is None:
         schema = to_arrow_schema(spark_schema)
-    names = columns if columns is not None else list(schema.names)
+    if columns is not None:
+        unknown = set(columns) - set(schema.names)
+        if unknown:
+            raise ValueError(f"decode: unknown columns {sorted(unknown)}")
+        # normalize the projection to SCHEMA order: the output StructType
+        # preserves schema order, so the decoded Arrow batches must too (a
+        # caller-order projection decoded fine but mis-bound column
+        # vectors JVM-side)
+        names = [nm for nm in schema.names if nm in set(columns)]
+    else:
+        names = list(schema.names)
     if prune:
         keep = None
         for col, (lo, hi) in prune.items():

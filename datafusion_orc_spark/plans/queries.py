@@ -361,8 +361,11 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: JSON field extraction from the events
-    props column (nested/semi-structured operator class)."""
-    ev = _t(spark, sf_dir, "events")
+    props column (nested/semi-structured operator class). Per-row JSON
+    parsing dominates the scan, so the scan gets the adaptive
+    parallelism floor (_t_parallel: the single-row-group fixture file
+    otherwise parses 1M rows in ONE task)."""
+    ev = _t_parallel(spark, sf_dir, "events")
     return (
         ev.select(
             "event_type",
@@ -463,8 +466,13 @@ def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") / width).cast("long") - 1,
         )),
     )
+    # shuffled-hash instead of sort-merge (guide §3.1): both sides hash
+    # by (custkey, bucket); the build side is the un-exploded table, so
+    # per-partition builds stay bounded at any scale and neither side
+    # pays a sort (the probe side is 2x-exploded — sorting it was the
+    # r7 plan's biggest cost)
     pairs = (
-        probe.join(build, ["o_custkey", "bucket"])
+        probe.join(build.hint("shuffle_hash"), ["o_custkey", "bucket"])
         .filter(
             (F.col("prev_ts") <= F.col("ts"))
             & (F.col("prev_ts") > F.col("ts") - width)
@@ -588,7 +596,16 @@ def q_roundtrip_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, F.col("l_orderkey")
     )
     blobs = encode_table(li, stripe_rows=16384)
-    dec = decode_table(blobs, None, li.schema)
+    # projection pushdown through the engine's own format (guide §6:
+    # column pruning must reach the scan; the reference's S10 analogue):
+    # every column is still ENCODED, but only the 4 columns the
+    # aggregate reads are decoded and cross the Python boundary back —
+    # the other 7 columns' blobs are filtered out between the two
+    # mapInArrow operators and never reach the decode worker
+    dec = decode_table(
+        blobs, None, li.schema,
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"],
+    )
     return (
         dec.groupBy("l_returnflag")
         .agg(
@@ -616,9 +633,14 @@ def q_roundtrip_tokens_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_orc_spark.operators.encode import decode_table, encode_table
     from datafusion_orc_spark.sources.tokens import tokenized_sequences
 
-    seqs = tokenized_sequences(spark, sf_dir).repartition(8)
+    seqs = tokenized_sequences(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     blobs = encode_table(seqs, stripe_rows=4096)
-    dec = decode_table(blobs, None, seqs.schema)
+    # decode only the 3 columns the aggregate reads (projection pushdown
+    # through our format, guide §6); doc_id is still encoded but its
+    # blobs never cross into the decode worker
+    dec = decode_table(blobs, None, seqs.schema, columns=["source", "n_tok", "tokens"])
     return (
         dec.select(
             "source",

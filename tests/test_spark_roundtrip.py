@@ -95,3 +95,28 @@ def test_per_row_token_equality(spark):
     agg = joined.agg(F.count(F.lit(1)).alias("n"), F.sum(F.when(F.col("tok_eq") & F.col("src_eq"), 0).otherwise(1)).alias("bad")).collect()[0]
     assert agg["n"] == seqs.count()
     assert agg["bad"] == 0
+
+
+def test_decode_projection_caller_order_normalized(spark):
+    """r8: a projection passed in non-schema order must decode correctly —
+    decode output column order follows the SCHEMA, not the caller list
+    (caller-order used to mis-bind column vectors JVM-side: an array
+    column read as string → UNSUPPORTED_CALL getArray)."""
+    seqs = tokenized_sequences(spark, SF_DIR)
+    blobs = encode_table(seqs.repartition(2), stripe_rows=500)
+    # schema order is [doc_id, tokens, n_tok, source]; request reversed
+    dec = decode_table(blobs, None, seqs.schema, columns=["source", "n_tok", "tokens"])
+    assert dec.columns == ["tokens", "n_tok", "source"]
+    got = dec.agg(
+        F.sum("n_tok").alias("s"),
+        F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)")).alias("t"),
+    ).collect()[0]
+    want = seqs.agg(
+        F.sum("n_tok").alias("s"),
+        F.sum(F.expr("aggregate(tokens, 0L, (a, x) -> a + x)")).alias("t"),
+    ).collect()[0]
+    assert (got["s"], got["t"]) == (want["s"], want["t"])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown columns"):
+        decode_table(blobs, None, seqs.schema, columns=["nope"])
