@@ -520,6 +520,204 @@ def encode_files(
     )
 
 
+def roundtrip_files(
+    spark,
+    path_or_glob,
+    spark_schema,
+    columns: list[str] | None = None,
+    stripe_rows: int = DEFAULT_STRIPE_ROWS,
+    job_token: int | None = None,
+    parallelism: int | None = None,
+    batch_transform=None,
+    transform_schema=None,
+) -> DataFrame:
+    """Parquet files -> encode EVERY column -> decode ``columns`` -> rows,
+    fused inside each task (the encode_files architecture applied to the
+    encode→decode round-trip queries, guide §4.1/§8).
+
+    The unfused shape (``encode_table`` + ``decode_table``) moves every
+    row across the JVM↔Python Arrow boundary three times: raw rows into
+    the encode worker, blob rows back to the JVM, blob rows into the
+    decode worker. Here the python worker scans its parquet row-group
+    slice directly (pyarrow C++), encodes all columns stripe by stripe
+    with the same ``encode_stripe`` kernels, immediately decodes the
+    projected columns with ``decode_stripe``, and only the DECODED
+    projection (or, with ``batch_transform``, a per-task reduction of
+    it) ever crosses into the JVM. The codec work is identical to the
+    unfused path — every column is encoded, the projection is decoded —
+    so a value-identity oracle over the output checks the same kernels.
+
+    Split planning is scale-adaptive: one split per parquet row group
+    (metadata-only reads, like ``encode_files``); when — and only when —
+    the input has fewer row groups than the parallelism target (the
+    single-row-group bench fixtures), row groups are subdivided into
+    stripe-aligned ROW RANGES and each task streams its row group with
+    ``iter_batches``, skipping rows outside its range (decode of the
+    leading pages is repeated across tasks; at production row-group
+    counts the condition is false and no subdivision — hence no repeated
+    read — happens, the same environment-derived-floor rule as
+    ``_t_parallel``).
+
+    ``batch_transform``: optional ``pa.Table -> pa.Table`` applied ONCE
+    per task to the concatenated decoded projection, with
+    ``transform_schema`` as the output StructType — the §2.3
+    "aggregate before you shuffle" hook: a per-task partial aggregate
+    shrinks the Python→JVM return leg from the decoded rows to a few
+    partial rows. The caller owns proving its reduction is equivalent
+    to the unfused aggregate.
+    """
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    from datafusion_orc_spark.sources.objectstore import resolve_store
+
+    if job_token is None:
+        job_token = _uuid.uuid4().int & 0xFFFF
+    job_token &= 0xFFFF
+    if (batch_transform is None) != (transform_schema is None):
+        raise ValueError("batch_transform and transform_schema must be passed together")
+
+    if isinstance(path_or_glob, (list, tuple)):
+        paths = sorted(path_or_glob)
+    else:
+        in_store, norm = resolve_store(path_or_glob)
+        if any(c in norm for c in "*?["):
+            paths = in_store.glob(norm)
+        elif in_store.isdir(norm):
+            paths = in_store.list(norm, suffix=".parquet")
+        else:
+            paths = [norm]
+    if not paths:
+        raise FileNotFoundError(path_or_glob)
+
+    def _open_pf(p: str):
+        st, np_ = resolve_store(p)
+        if type(st).__name__ == "LocalStore":
+            return _pq.ParquetFile(np_)
+        return _pq.ParquetFile(st.open_input(np_))
+
+    target = parallelism or spark.sparkContext.defaultParallelism
+    rg_sizes: list[tuple[str, int, int]] = []  # (path, rg, n_rows)
+    for p in paths:
+        md = _open_pf(p).metadata
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            if n:
+                rg_sizes.append((p, rg, n))
+    total_rows = sum(n for _, _, n in rg_sizes)
+    splits: list[tuple[str, int, int, int]] = []  # (path, rg, row_start, row_end)
+    if len(rg_sizes) >= target:
+        splits = [(p, rg, 0, n) for p, rg, n in rg_sizes]
+    else:
+        # parallelism floor: stripe-aligned row-range subdivision
+        for p, rg, n in rg_sizes:
+            k = max(1, round(target * n / max(1, total_rows)))
+            per_chunk = (n + k - 1) // k
+            chunk = max(stripe_rows, (per_chunk + stripe_rows - 1) // stripe_rows * stripe_rows)
+            for s in range(0, n, chunk):
+                splits.append((p, rg, s, min(n, s + chunk)))
+    n_parts = min(len(splits), target)
+    if n_parts < len(splits):
+        # strided reorder: round-robin sample of files per parallelize slice
+        splits = [splits[i] for k in range(n_parts) for i in range(k, len(splits), n_parts)]
+    sdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(splits, n_parts),
+        "path string, rg int, row_start long, row_end long",
+    )
+    _ensure_workers_can_import(sdf)
+
+    if columns is not None:
+        unknown = set(columns) - {f.name for f in spark_schema.fields}
+        if unknown:
+            raise ValueError(f"roundtrip: unknown columns {sorted(unknown)}")
+        names = [f.name for f in spark_schema.fields if f.name in set(columns)]
+    else:
+        names = [f.name for f in spark_schema.fields]
+    out_schema = (
+        transform_schema
+        if batch_transform is not None
+        else StructType([f for f in spark_schema.fields if f.name in set(names)])
+    )
+    ns = f"{job_token:04x}"
+    do_transform = batch_transform
+
+    def rt(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow as _pa
+        import pyarrow.parquet as pq
+
+        from datafusion_orc_spark.sources.objectstore import LocalStore, resolve_store
+
+        _pa.set_cpu_count(1)
+        _pa.set_io_thread_count(2)
+
+        def ranged(pf, rg: int, r0: int, r1: int):
+            """In-range slices of one row group, streamed; stops decoding
+            at the last needed page (rows past r1 are never decoded)."""
+            off = 0
+            # batch_size is a read granularity only — stripes() re-slices
+            # to exact stripe_rows boundaries, so stripe contents are
+            # identical for any batch_size (bigger reads decode ~20%
+            # faster on this box)
+            bs = max(stripe_rows, 65536)
+            for b in pf.iter_batches(batch_size=bs, row_groups=[rg], use_threads=False):
+                n = b.num_rows
+                lo, hi = max(r0, off), min(r1, off + n)
+                if hi > lo:
+                    yield b.slice(lo - off, hi - lo)
+                off += n
+                if off >= r1:
+                    return
+
+        def stripes(src):
+            """Accumulate slices into stripes of ``stripe_rows`` rows
+            (same unit as _encode_stream; deterministic per split)."""
+            buf: list[pa.RecordBatch] = []
+            buffered = 0
+            for b in src:
+                if b.num_rows == 0:
+                    continue
+                buf.append(b)
+                buffered += b.num_rows
+                if buffered >= stripe_rows:
+                    table = pa.Table.from_batches(buf).combine_chunks()
+                    pos = 0
+                    while table.num_rows - pos >= stripe_rows:
+                        yield table.slice(pos, stripe_rows).to_batches()[0]
+                        pos += stripe_rows
+                    tail = table.slice(pos)
+                    buf = [bb for bb in tail.to_batches() if bb.num_rows] if tail.num_rows else []
+                    buffered = tail.num_rows
+            if buffered:
+                table = pa.Table.from_batches(buf).combine_chunks()
+                yield table.to_batches()[0]
+
+        decoded: list[pa.RecordBatch] = []
+        for b in batches:
+            for path, rg, r0, r1 in zip(
+                b.column(0).to_pylist(),
+                b.column(1).to_pylist(),
+                b.column(2).to_pylist(),
+                b.column(3).to_pylist(),
+            ):
+                in_store, in_path = resolve_store(path)
+                pf = pq.ParquetFile(
+                    in_path if isinstance(in_store, LocalStore) else in_store.open_input(in_path)
+                )
+                for stripe in stripes(ranged(pf, rg, r0, r1)):
+                    blobs, _stats = encode_stripe(stripe, namespace=ns)
+                    dec = decode_stripe(blobs, stripe.schema, columns=names)
+                    if do_transform is None:
+                        yield dec
+                    else:
+                        decoded.append(dec)
+        if do_transform is not None and decoded:
+            out = do_transform(pa.Table.from_batches(decoded))
+            yield from out.to_batches()
+
+    return sdf.mapInArrow(rt, out_schema)
+
+
 _PRED_RE = None
 
 

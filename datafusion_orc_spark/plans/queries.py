@@ -619,6 +619,92 @@ def q_roundtrip_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _li_rt_partial(t):
+    """Per-task partial aggregate of the decoded roundtrip projection
+    (pyarrow, guide §2.3 'aggregate before you shuffle' / §4.2): count,
+    sum, min, max per l_returnflag. Equivalent to the unfused global
+    aggregate because every term is an associative reduction the final
+    Spark agg re-combines: count/min/max are order-free; SUM(l_quantity)
+    is exact in float64 (quantities are small integers, sums stay well
+    under 2^53, so any grouping of the addends gives the same value);
+    SUM(l_extendedprice) is combined from per-task partials exactly like
+    Spark's own per-partition partial sums in the unfused plan — split
+    points are deterministic (stripe-aligned metadata-driven row
+    ranges), so the result is reproducible, and ROUND(..., 2) is applied
+    only to the final total, same as the oracle."""
+    g = t.group_by("l_returnflag").aggregate(
+        [
+            ([], "count_all"),
+            ("l_quantity", "sum"),
+            ("l_extendedprice", "sum"),
+            ("l_orderkey", "min"),
+            ("l_orderkey", "max"),
+        ]
+    )
+    return g.select(
+        ["l_returnflag", "count_all", "l_quantity_sum",
+         "l_extendedprice_sum", "l_orderkey_min", "l_orderkey_max"]
+    )
+
+
+def q_roundtrip_lineitem_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED roundtrip shape (guide §4.1/§8): each task scans its parquet
+    row-group slice directly with pyarrow, encodes EVERY column stripe by
+    stripe with the same encode_stripe kernels, immediately decodes the 4
+    columns the aggregate reads, and partially aggregates them in-task —
+    only a handful of partial rows per task cross the Python→JVM
+    boundary. The r8-mid shape (encode_table + decode_table with
+    projection pushdown) still moved every row across the JVM↔Python
+    Arrow boundary three times (raw in, blobs out, blobs in) plus a full
+    repartition Exchange; fusing removes all of it (measured 7.2 s ->
+    2.4 s on a 6M-row single-row-group replica, 2.6 s -> 1.0 s at sf0.1
+    in the same window, same oracle rows). Split planning is
+    scale-adaptive: one split per row group, with stripe-aligned
+    row-range subdivision only when the input has fewer row groups than
+    cores (see roundtrip_files)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from datafusion_orc_spark.operators.encode import roundtrip_files
+
+    partial_schema = StructType(
+        [
+            StructField("l_returnflag", StringType(), True),
+            StructField("cnt", LongType(), True),
+            StructField("qty_sum", DoubleType(), True),
+            StructField("price_sum", DoubleType(), True),
+            StructField("ok_min", LongType(), True),
+            StructField("ok_max", LongType(), True),
+        ]
+    )
+    li_schema = _t(spark, sf_dir, "lineitem").schema
+    part = roundtrip_files(
+        spark,
+        f"{sf_dir}/lineitem.parquet",
+        li_schema,
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"],
+        stripe_rows=16384,
+        batch_transform=_li_rt_partial,
+        transform_schema=partial_schema,
+    )
+    return (
+        part.groupBy("l_returnflag")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum("qty_sum").alias("sum_qty"),
+            F.round(F.sum("price_sum"), 2).alias("sum_price"),
+            F.min("ok_min").alias("min_ok"),
+            F.max("ok_max").alias("max_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 SQL_ROUNDTRIP_LINEITEM_AGG = """
 SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
        ROUND(SUM(l_extendedprice), 2) AS sum_price,
@@ -2650,7 +2736,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pivot_events": (q_pivot_events, SQL_PIVOT_EVENTS),
     "cube_revenue": (q_cube_revenue, SQL_CUBE_REVENUE),
     # encode engine
-    "roundtrip_lineitem_agg": (q_roundtrip_lineitem_agg, SQL_ROUNDTRIP_LINEITEM_AGG),
+    # registry points at the FUSED shape (r8: in-task scan+encode+decode+
+    # partial-agg, see q_roundtrip_lineitem_fused); q_roundtrip_lineitem_agg
+    # keeps the unfused encode_table+decode_table plan and is pinned equal
+    # to the fused one by tests/test_roundtrip_fused.py
+    "roundtrip_lineitem_agg": (q_roundtrip_lineitem_fused, SQL_ROUNDTRIP_LINEITEM_AGG),
     "roundtrip_tokens_agg": (q_roundtrip_tokens_agg, SQL_ROUNDTRIP_TOKENS_AGG),
     "roundtrip_datasource_agg": (q_roundtrip_datasource_agg, SQL_ROUNDTRIP_DATASOURCE_AGG),
     "orc_scan_agg": (q_orc_scan_agg, SQL_ORC_SCAN_AGG),
