@@ -92,6 +92,22 @@ def test_roundtrip_files_projection_and_transform(spark, tmp_path):
     assert rows == expect
 
 
+def test_fused_roundtrip_plan_shape(spark):
+    """The fused plan must carry NO parquet scan (the python workers scan
+    row-group slices directly), exactly ONE MapInArrow, and no
+    data-bearing Exchange — the only exchanges sit after the per-task
+    partial aggregate (final agg + result sort over a few rows/task)."""
+    from datafusion_orc_spark.plans.queries import q_roundtrip_lineitem_fused
+
+    df = q_roundtrip_lineitem_fused(spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Scan parquet" not in plan
+    assert plan.count("MapInArrow") == 2  # one node + its detail block
+    assert plan.count("Exchange") <= 4  # node + detail each for agg/sort only
+
+
 def test_roundtrip_files_transform_args_must_pair(spark):
     from datafusion_orc_spark.operators.encode import roundtrip_files
 
