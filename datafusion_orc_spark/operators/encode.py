@@ -530,6 +530,7 @@ def roundtrip_files(
     parallelism: int | None = None,
     batch_transform=None,
     transform_schema=None,
+    transform_flush_rows: int = 1 << 20,
 ) -> DataFrame:
     """Parquet files -> encode EVERY column -> decode ``columns`` -> rows,
     fused inside each task (the encode_files architecture applied to the
@@ -558,13 +559,15 @@ def roundtrip_files(
     read — happens, the same environment-derived-floor rule as
     ``_t_parallel``).
 
-    ``batch_transform``: optional ``pa.Table -> pa.Table`` applied ONCE
-    per task to the concatenated decoded projection, with
-    ``transform_schema`` as the output StructType — the §2.3
-    "aggregate before you shuffle" hook: a per-task partial aggregate
-    shrinks the Python→JVM return leg from the decoded rows to a few
-    partial rows. The caller owns proving its reduction is equivalent
-    to the unfused aggregate.
+    ``batch_transform``: optional ``pa.Table -> pa.Table`` applied to
+    the decoded projection in chunks of ``transform_flush_rows`` rows
+    (one application per task at bench split sizes; bounded memory at
+    100-TB split counts), with ``transform_schema`` as the output
+    StructType — the §2.3 "aggregate before you shuffle" hook: its
+    output rows must be PARTIALS the caller's downstream aggregate
+    re-combines, which also makes per-chunk application equivalent to
+    per-task application. The caller owns proving its reduction is
+    equivalent to the unfused aggregate.
     """
     import uuid as _uuid
 
@@ -692,7 +695,26 @@ def roundtrip_files(
                 table = pa.Table.from_batches(buf).combine_chunks()
                 yield table.to_batches()[0]
 
+        # bounded partial-agg buffer: the transform's output rows are
+        # PARTIALS the downstream Spark aggregate re-combines, so it is
+        # applied per ~1M decoded rows and re-yielded — a task never
+        # holds more than the chunk of its decoded projection in memory
+        # no matter how many splits it owns (the 100-TB case), and at
+        # bench split sizes (<1M rows/task) this is one flush per task,
+        # identical to a single per-task application. Chunk boundaries
+        # are deterministic (split order is), so partials — and the
+        # combined result — are reproducible.
         decoded: list[pa.RecordBatch] = []
+        decoded_rows = 0
+        flush_rows = transform_flush_rows
+
+        def flush_transform():
+            nonlocal decoded, decoded_rows
+            out = do_transform(pa.Table.from_batches(decoded))
+            decoded = []
+            decoded_rows = 0
+            yield from out.to_batches()
+
         for b in batches:
             for path, rg, r0, r1 in zip(
                 b.column(0).to_pylist(),
@@ -711,9 +733,11 @@ def roundtrip_files(
                         yield dec
                     else:
                         decoded.append(dec)
+                        decoded_rows += dec.num_rows
+                        if decoded_rows >= flush_rows:
+                            yield from flush_transform()
         if do_transform is not None and decoded:
-            out = do_transform(pa.Table.from_batches(decoded))
-            yield from out.to_batches()
+            yield from flush_transform()
 
     return sdf.mapInArrow(rt, out_schema)
 

@@ -92,6 +92,55 @@ def test_roundtrip_files_projection_and_transform(spark, tmp_path):
     assert rows == expect
 
 
+def test_roundtrip_files_transform_multi_flush(spark, tmp_path):
+    """With transform_flush_rows below the task's row count the partial
+    transform runs several times per task; the combined result must be
+    identical to a single application (partials are re-combined
+    downstream)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from datafusion_orc_spark.operators.encode import roundtrip_files
+
+    path = os.path.join(tmp_path, "t.parquet")
+    n = 6000
+    t = pa.table(
+        {
+            "a": pa.array(range(n), type=pa.int64()),
+            "b": pa.array([i % 3 for i in range(n)], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, path, row_group_size=n)
+    sschema = spark.createDataFrame([(0, 0)], "a long, b long").schema
+
+    def partial(tbl):
+        g = tbl.group_by("b").aggregate([("a", "sum"), ([], "count_all")])
+        return g.select(["b", "a_sum", "count_all"])
+
+    out_schema = StructType(
+        [
+            StructField("b", LongType(), True),
+            StructField("a_sum", LongType(), True),
+            StructField("cnt", LongType(), True),
+        ]
+    )
+
+    def run(flush):
+        part = roundtrip_files(
+            spark, path, sschema, columns=["a", "b"], stripe_rows=256,
+            batch_transform=partial, transform_schema=out_schema,
+            transform_flush_rows=flush,
+        )
+        return {
+            r["b"]: (r["total"], r["n"])
+            for r in part.groupBy("b")
+            .agg(F.sum("a_sum").alias("total"), F.sum("cnt").alias("n"))
+            .collect()
+        }
+
+    assert run(300) == run(1 << 20)  # several flushes/task == one flush/task
+
+
 def test_fused_roundtrip_plan_shape(spark):
     """The fused plan must carry NO parquet scan (the python workers scan
     row-group slices directly), exactly ONE MapInArrow, and no
