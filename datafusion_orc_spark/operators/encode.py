@@ -613,13 +613,57 @@ def roundtrip_files(
     if len(rg_sizes) >= target:
         splits = [(p, rg, 0, n) for p, rg, n in rg_sizes]
     else:
-        # parallelism floor: stripe-aligned row-range subdivision
+        # parallelism floor: stripe-aligned row-range subdivision.
+        # Two balance rules (measured on the 6-row-group sf1.0 shape,
+        # where the old round()-per-row-group planner made 36 splits for
+        # target 32 — so 4 of the 32 static partitions carried TWO
+        # splits and the stage wall was 2x a median task):
+        #  1. apportion split counts by largest remainder so the total
+        #     is exactly min(target, total stripes) — one split per
+        #     task, no double-loaded partition;
+        #  2. ranges are whole stripes, apportioned uniformly by largest
+        #     remainder (sizes differ by <=1 stripe), remainder stripes
+        #     assigned to the EARLIEST ranges: a range [s, e) also pays
+        #     a leading decode ~ e (iter_batches decodes from row 0 up
+        #     to e), but a per-task least-squares fit on the 6-row-group
+        #     sf1.0 shape measured that lead at ~0.12 us/row vs ~3
+        #     us/row of encode/decode work (4%) — smaller than one
+        #     stripe's worth of work at bench chunk sizes, so a
+        #     cost-tapered boundary model snapped to stripe quanta just
+        #     produced 1-vs-2-stripe jitter (measured 2x task spread at
+        #     sf0.1); front-loading the remainder stripes counteracts
+        #     the 4% without breaking the quantum.
+        n_stripes = {(p, rg): max(1, (n + stripe_rows - 1) // stripe_rows) for p, rg, n in rg_sizes}
+        budget = min(target, sum(n_stripes.values()))
+        quota = {k2: min(n_stripes[k2], budget * rg_n / max(1, total_rows))
+                 for k2, rg_n in (((p, rg), n) for p, rg, n in rg_sizes)}
+        k_of = {k2: max(1, int(q)) for k2, q in quota.items()}
+        left = budget - sum(k_of.values())
+        if left > 0:
+            by_rem = sorted(quota, key=lambda k2: quota[k2] - int(quota[k2]), reverse=True)
+            for k2 in by_rem:
+                if left <= 0:
+                    break
+                if k_of[k2] < n_stripes[k2]:
+                    k_of[k2] += 1
+                    left -= 1
         for p, rg, n in rg_sizes:
-            k = max(1, round(target * n / max(1, total_rows)))
-            per_chunk = (n + k - 1) // k
-            chunk = max(stripe_rows, (per_chunk + stripe_rows - 1) // stripe_rows * stripe_rows)
-            for s in range(0, n, chunk):
-                splits.append((p, rg, s, min(n, s + chunk)))
+            k = k_of[(p, rg)]
+            if k <= 1:
+                splits.append((p, rg, 0, n))
+                continue
+            n_str = n_stripes[(p, rg)]
+            per = [n_str // k] * k
+            for i in range(n_str % k):
+                per[i] += 1
+            pos = 0
+            for c in per:
+                if c <= 0:
+                    continue
+                s, e = pos * stripe_rows, min(n, (pos + c) * stripe_rows)
+                if e > s:
+                    splits.append((p, rg, s, e))
+                pos += c
     n_parts = min(len(splits), target)
     if n_parts < len(splits):
         # strided reorder: round-robin sample of files per parallelize slice

@@ -34,8 +34,27 @@ STOPWORDS_DE = ["der", "die", "und", "das", "ist", "zu", "den", "ein"]
 STOPWORDS_FR = ["le", "la", "et", "les", "des", "est", "un", "une"]
 
 
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Lazy scan of a fixture table, memoized per (application, path).
+
+    ``spark.read.parquet`` re-lists the directory and re-infers the
+    schema on EVERY call — measured at ~60 ms of driver wall per table
+    per run (3 sequential footer-read jobs before top_customers' first
+    scan task launches). A catalog table (``spark.table``) would cache
+    exactly this metadata per session; path-based reads get no such
+    cache, so this memo is that catalog registration. METADATA ONLY —
+    the returned DataFrame is an unexecuted plan: every query run still
+    scans, decodes and aggregates from the parquet files (guide §6:
+    session-level file-listing caches exist for precisely this)."""
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/{name}.parquet")
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 _SCAN_PARTS_CACHE: dict[tuple[str, str], int] = {}
@@ -1405,6 +1424,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(y.hint("shuffle_hash"), ["band", "bucket"])
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        # same AQE-coalesce guard as q_ann_lsh_topk: keep the post-dedup
+        # cosine scoring parallel (pairs are few MB -> AQE read them as
+        # one partition); explicit numPartitions is never coalesced
+        .repartition(spark.sparkContext.defaultParallelism, "vec_a", "vec_b")
         .distinct()
     )
     # verify joins broadcast the (vec_id, q, n2) vector table so the
@@ -1620,6 +1643,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+        # pin the dedup exchange's partition count (guide §2.5): the
+        # candidate pairs are a few MB, so AQE coalesced the distinct's
+        # shuffle read to ONE partition — and the downstream per-pair
+        # cosine scoring (interpreted lambda dot products, the expensive
+        # part) chained onto it serially. An explicit numPartitions is
+        # never coalesced; the distinct reuses this partitioning, so the
+        # exchange count is unchanged. Same rows, distinct is distinct.
+        .repartition(spark.sparkContext.defaultParallelism, "query_id", "neighbor_id")
         .distinct()
     )
     # verify joins: query side restricted to vec_id < 5 (provably
