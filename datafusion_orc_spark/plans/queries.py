@@ -131,12 +131,21 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # project the revenue term BEFORE the join's exchange (guide §2.3
+    # "shuffle fewer bytes"): the shuffle then carries (key, rev) = 16
+    # bytes/row instead of (key, price, discount) = 24. Each product is
+    # the same IEEE multiply of the same operands, evaluated per row
+    # before partial aggregation either way, so every group's sum — and
+    # the oracle hash — is bit-identical.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
     return (
         li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
     )
@@ -1264,15 +1273,27 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # verify joins: BOTH sides attach the same tokset table. Rename
+    # ABOVE the join, not inside the broadcast subtree — with the
+    # doc_a/doc_b aliases applied pre-broadcast the two builds
+    # canonicalize differently and Spark scanned+tokenized `documents` a
+    # second time per run (measured 0.3 s/scan at the sf1.0 shape);
+    # with identical children the second BroadcastExchange is a
+    # ReusedExchange. Same rows, same join semantics.
     tsets = sig.select("doc_id", "tokset")
+    ja = cand.join(F.broadcast(tsets), cand.doc_a == tsets.doc_id).select(
+        "doc_a", "doc_b", F.col("tokset").alias("ta")
+    )
     pairs = (
-        cand.join(tsets.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("ta")), "doc_a")
-        .join(tsets.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("tb")), "doc_b")
+        ja.join(F.broadcast(tsets), ja.doc_b == tsets.doc_id)
         .select(
             "doc_a", "doc_b",
             (
-                F.size(F.array_intersect("ta", "tb"))
-                / (F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb")))
+                F.size(F.array_intersect(F.col("ta"), F.col("tokset")))
+                / (
+                    F.size("ta") + F.size("tokset")
+                    - F.size(F.array_intersect(F.col("ta"), F.col("tokset")))
+                )
             ).alias("jac"),
         )
     )
