@@ -131,11 +131,15 @@ class FsstTable:
 
     @classmethod
     def deserialize(cls, buf: bytes) -> "FsstTable":
-        n = buf[0]
+        # & 0xFF: buf may be a SIGNED memoryview (pa.Buffer's is format
+        # 'b'), where buf[i] >= 0x80 reads negative — a symbol count of
+        # 221 became -35 and yielded an empty table (empty decode) with
+        # no error. Mask restores unsigned byte semantics for any input.
+        n = buf[0] & 0xFF
         pos = 1
         symbols = []
         for _ in range(n):
-            ln = buf[pos]
+            ln = buf[pos] & 0xFF
             pos += 1
             symbols.append(bytes(buf[pos : pos + ln]))
             pos += ln

@@ -143,7 +143,14 @@ class StripeBlobReader(DataSourceReader):
                 bufs[1], dtype=off_dt, count=len(data_arr) + 1,
                 offset=data_arr.offset * width,
             )
-            mv = memoryview(bufs[2])
+            # pa.Buffer's memoryview is SIGNED ('b'): single-byte indexing
+            # (blob[i]) then yields negative ints for bytes >= 0x80 — the
+            # FSST table deserializer read a 221-symbol count as -35 and
+            # silently decoded every string to b"" (caught at sf0.1, the
+            # first fixture whose doc_id stripes are big enough for the
+            # selector to pick str_fsst). Cast once to unsigned so every
+            # downstream parser sees bytes-like semantics.
+            mv = memoryview(bufs[2]).cast("B")
             for i, (sid, col) in enumerate(zip(sids, cols)):
                 if sid in skipped or col not in expected:
                     continue
