@@ -51,6 +51,30 @@ def test_decode_stripe_from_signed_memoryview_fsst_column():
     assert out_mv.column(0).to_pylist() == vals
 
 
+def test_decode_stripe_signed_memoryview_all_codecs():
+    """Every codec the selector picks for a mixed batch must decode
+    bit-identically from a signed memoryview (the fsst table parser was
+    the only byte-indexing consumer, but pin the whole matrix)."""
+    n = 600
+    batch = pa.record_batch({
+        "i64": pa.array([(i * 2654435761) % (1 << 40) for i in range(n)], type=pa.int64()),
+        "i32n": pa.array([None if i % 7 == 0 else i for i in range(n)], type=pa.int32()),
+        "f64": pa.array([i * 1.5 for i in range(n)], type=pa.float64()),
+        "b": pa.array([i % 3 == 0 for i in range(n)], type=pa.bool_()),
+        "sdict": pa.array([["alpha", "beta", "gamma", "delta"][i % 4] for i in range(n)], type=pa.string()),
+        "sfsst": pa.array([f"doc-{i:012d}" for i in range(n)], type=pa.string()),
+        "arr": pa.array([[i, i + 1, i + 2] for i in range(n)], type=pa.list_(pa.int32())),
+        "date": pa.array([18000 + i for i in range(n)], type=pa.date32()),
+    })
+    blobs, stats = encode_stripe(batch)
+    codecs = {s["column"]: s["codec"] for s in stats}
+    assert codecs["sfsst"] == "str_fsst"  # the regression's trigger codec
+    got_mv = {k: _signed_mv(v) for k, v in blobs.items()}
+    out = decode_stripe(got_mv, batch.schema)
+    for i, nm in enumerate(batch.schema.names):
+        assert out.column(i).equals(batch.column(i)), (nm, codecs[nm])
+
+
 def test_fsst_roundtrip_signed_memoryview_stream():
     blob = b"".join(f"doc-{i:012d}".encode() for i in range(400))
     table = fsst_train(blob)
